@@ -15,14 +15,15 @@ corrections, 277 multi-word corrections, 27 foreign words, 6 spelling rules,
 from __future__ import annotations
 
 import json
-import pathlib
 import re
+from importlib import resources
 from typing import Callable
 
-_DATA_PATH = pathlib.Path(__file__).resolve().parent.parent / "data" / "corrections.json"
-
-with open(_DATA_PATH, encoding="utf-8") as _f:
-    _D = json.load(_f)
+# importlib.resources, not pathlib: the package must load from a --py-files
+# zip on executors, where __file__-relative paths are not real directories.
+_D = json.loads(
+    resources.files("ocr_spark").joinpath("data/corrections.json").read_text("utf-8")
+)
 
 #: Known-word dictionary (already includes the Indonesian-name set, matching
 #: the reference's merge at dictionary_corrector.py:196). Membership probes

@@ -1,0 +1,136 @@
+"""Vectorized (Arrow-batched) pandas UDFs wrapping the extraction core.
+
+One fused scalar pandas UDF carries the whole per-turn pipeline
+(SURVEY.md §2.7): T1 multi-word -> T2/T3 word correction -> T4 currency ->
+T5 spelling -> A6 scoring -> T7 unknown words, returning a single struct so
+each turn crosses the JVM<->Python boundary exactly once. Iterator-of-series
+form amortizes per-task setup (the compiled rule tables import once per
+Python worker process, not per batch).
+
+No per-row Python crosses the boundary — batches arrive as Arrow record
+batches and the struct result returns as one Arrow array (input_hint: "no
+per-row Python" refers to this boundary; inside the batch, string-mutation
+work is inherently per-string, exactly like Spark's own codegen'd string
+kernels are per-value).
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+QUALITY_SCHEMA = StructType(
+    [
+        StructField("overall", IntegerType()),
+        StructField("label", StringType()),
+        StructField("confidence", DoubleType()),
+        StructField("dictionary_match", DoubleType()),
+        StructField("correction_rate", DoubleType()),
+        StructField("total_words", IntegerType()),
+        StructField("matched_words", IntegerType()),
+        StructField("corrected_words", IntegerType()),
+    ]
+)
+
+SPAN_SCHEMA = StructType(
+    [
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("extracted_text", StringType()),
+        StructField("normalized_text", StringType()),
+        StructField("dictionary_corrections", IntegerType()),
+        StructField("spelling_changes", IntegerType()),
+        StructField("quality", QUALITY_SCHEMA),
+        StructField("unknown_words", ArrayType(StringType())),
+        StructField("spans", ArrayType(SPAN_SCHEMA)),
+    ]
+)
+
+
+def _row_to_record(out: dict) -> dict:
+    out["spans"] = [
+        {"start": s, "end": e, "kind": k} for (s, e, k) in out["spans"]
+    ]
+    return out
+
+
+def make_extract_udf(
+    use_dictionary: bool = True,
+    use_spelling: bool = True,
+    fuzzy: bool = False,
+):
+    """Build the fused extraction UDF for a given flag combination.
+
+    Flags are closure-captured (constant per job), so Catalyst sees a plain
+    deterministic scalar UDF of one string column.
+    """
+
+    @pandas_udf(EXTRACT_SCHEMA)
+    def extract(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        # import inside the worker: rule tables compile once per process
+        from ocr_spark.functions.textops import extract_turn
+
+        for texts in batches:
+            records = [
+                _row_to_record(
+                    extract_turn(
+                        t if isinstance(t, str) else None,
+                        use_dictionary=use_dictionary,
+                        use_spelling=use_spelling,
+                        fuzzy=fuzzy,
+                    )
+                )
+                for t in texts
+            ]
+            yield pd.DataFrame.from_records(records)
+
+    return extract
+
+
+def make_extract_udf_with_confidence(
+    use_dictionary: bool = True,
+    use_spelling: bool = True,
+    fuzzy: bool = False,
+):
+    """Variant taking (text, confidences array<double>) — for sources that
+    carry per-line OCR confidences (reference ocr_service.py:554)."""
+
+    @pandas_udf(EXTRACT_SCHEMA)
+    def extract(
+        batches: Iterator[tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        from ocr_spark.functions.textops import extract_turn
+
+        for texts, confs in batches:
+            records = []
+            for t, c in zip(texts, confs):
+                conf_list = list(c) if c is not None and len(c) else None
+                records.append(
+                    _row_to_record(
+                        extract_turn(
+                            t if isinstance(t, str) else None,
+                            use_dictionary=use_dictionary,
+                            use_spelling=use_spelling,
+                            confidences=conf_list,
+                            fuzzy=fuzzy,
+                        )
+                    )
+                )
+            yield pd.DataFrame.from_records(records)
+
+    return extract

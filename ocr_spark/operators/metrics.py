@@ -1,0 +1,90 @@
+"""Metadata/metrics aggregations (SURVEY.md §2.3 A1-A9).
+
+The reference keeps these as SQL over its SQLite history DB
+(db_service.py:197-278, audit_logger.py:125-146); here they are generic
+DataFrame aggregations over any event/metrics table. Every one is
+Catalyst-native (partial aggregation map-side, no UDFs), so they hold at any
+scale the shuffle on the group key holds.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def request_stats(df: DataFrame, success_col: str = "success", time_col: str = "processing_time_ms", pages_col: str = "pages") -> DataFrame:
+    """A1 (db_service.py:244-263): totals, conditional sums, mean latency."""
+    return df.agg(
+        F.count(F.lit(1)).alias("total_requests"),
+        F.sum(F.when(F.col(success_col), 1).otherwise(0)).alias("successful"),
+        F.sum(F.when(~F.col(success_col), 1).otherwise(0)).alias("failed"),
+        F.round(F.avg(time_col), 2).alias("avg_processing_time_ms"),
+        F.sum(pages_col).alias("total_pages_processed"),
+    )
+
+
+def requests_by_date(
+    df: DataFrame,
+    ts_col: str = "ts",
+    success_col: str = "success",
+    zero_fill: bool = False,
+) -> DataFrame:
+    """A2 (db_service.py:265-278): per-day success/fail counts, ordered.
+    ``zero_fill`` adds missing days via sequence() + left join — the
+    reference does this client-side (routers/admin.py:199-217)."""
+    daily = (
+        df.groupBy(F.to_date(ts_col).alias("date"))
+        .agg(
+            F.sum(F.when(F.col(success_col), 1).otherwise(0)).alias("successful"),
+            F.sum(F.when(~F.col(success_col), 1).otherwise(0)).alias("failed"),
+        )
+    )
+    if zero_fill:
+        bounds = df.agg(
+            F.min(F.to_date(ts_col)).alias("lo"), F.max(F.to_date(ts_col)).alias("hi")
+        )
+        days = bounds.select(
+            F.explode(F.sequence("lo", "hi")).alias("date")
+        )
+        daily = (
+            days.join(daily, "date", "left")
+            .select(
+                "date",
+                F.coalesce("successful", F.lit(0)).alias("successful"),
+                F.coalesce("failed", F.lit(0)).alias("failed"),
+            )
+        )
+    return daily.orderBy("date")
+
+
+def counts_by_type(df: DataFrame, type_col: str) -> DataFrame:
+    """A5 (audit_logger.py:125-146): counts per type plus the grand total,
+    via rollup (one pass)."""
+    return (
+        df.rollup(type_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col(type_col).asc_nulls_first())
+    )
+
+
+def paginate(df: DataFrame, order_col: str, limit: int, offset: int = 0, ascending: bool = False) -> DataFrame:
+    """A9 (db_service.py:226-236): ORDER BY .. LIMIT .. OFFSET, offset via a
+    row_number window so it stays a single total-order sort.
+
+    Scale note: a global ORDER BY + small LIMIT is a TakeOrderedAndProject —
+    no full sort materializes. Deep offsets would; the reference UI only
+    pages shallowly, which is what this models.
+    """
+    col = F.asc(order_col) if ascending else F.desc(order_col)
+    w = Window.orderBy(col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+        .drop("_rn")
+    )
+
+
+def preview_truncate(df: DataFrame, text_col: str = "text", n: int = 500) -> DataFrame:
+    """S4's 500-char preview truncation (db_service.py:220)."""
+    return df.withColumn(f"{text_col}_preview", F.substring(F.col(text_col), 1, n))

@@ -1,0 +1,152 @@
+"""The batch extraction job: file-group checkpointing, lineage manifests.
+
+North-rule requirements covered here: checkpoint-resumability with
+per-partition lineage + metrics counters (turns processed, corrections,
+bytes extracted), idempotent re-runs, skew-aware map stage.
+
+Checkpoint unit = a deterministic group of input files. The sorted input
+file list is chunked into N groups; each group is read, extracted, and
+written to ``output/group=K/`` with an ``overwrite`` of exactly that
+directory, then a manifest ``_manifests/group-K.json`` records the file
+lineage and counters. A killed job resumes by skipping groups whose
+manifest exists — each input byte is read exactly once across all attempts,
+and a re-run of a completed group is a no-op overwrite (idempotent).
+
+This is the plain-Parquet rendition of what Iceberg gives via snapshot
+atomicity (no Iceberg runtime jar exists in this sandbox — verified; the
+deployment swap is config-only since the write is still
+``write.mode("overwrite")`` per partition directory). At cluster scale the
+same protocol runs with group count ~ O(total-size / 1 TB) so a restart
+loses at most one group of work.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+from pyspark.sql import Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.extraction import extract_turns, salted_repartition
+
+INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+class ExtractionJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        output_path: str,
+        groups: int = 8,
+        use_dictionary: bool = True,
+        use_spelling: bool = True,
+        partitions_per_group: int | None = None,
+        salt_buckets: int = 16,
+        columns: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.input_path = input_path
+        self.output = pathlib.Path(output_path)
+        self.manifest_dir = self.output / "_manifests"
+        self.groups = groups
+        self.use_dictionary = use_dictionary
+        self.use_spelling = use_spelling
+        self.salt_buckets = salt_buckets
+        self.columns = columns or INPUT_COLUMNS
+        if partitions_per_group is None:
+            partitions_per_group = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self.partitions_per_group = partitions_per_group
+
+    # -- lineage ------------------------------------------------------------
+
+    def input_file_groups(self) -> list[list[str]]:
+        """Deterministic chunking of the sorted input file list."""
+        root = pathlib.Path(self.input_path)
+        files = sorted(str(p) for p in root.glob("**/*.parquet"))
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {self.input_path}")
+        n = min(self.groups, len(files))
+        per = (len(files) + n - 1) // n
+        return [files[i * per : (i + 1) * per] for i in range(n) if files[i * per : (i + 1) * per]]
+
+    def _manifest_path(self, k: int) -> pathlib.Path:
+        return self.manifest_dir / f"group-{k:04d}.json"
+
+    def completed_groups(self) -> set[int]:
+        done = set()
+        for p in self.manifest_dir.glob("group-*.json"):
+            try:
+                m = json.loads(p.read_text())
+                if m.get("status") == "complete":
+                    done.add(m["group"])
+            except (ValueError, KeyError):
+                continue  # partial/corrupt manifest -> group reruns
+        return done
+
+    # -- execution ----------------------------------------------------------
+
+    def run_group(self, k: int, files: list[str]) -> dict:
+        t0 = time.monotonic()
+        df = self.spark.read.parquet(*files).select(*self.columns)
+        df = salted_repartition(df, self.partitions_per_group, self.salt_buckets)
+        out = extract_turns(
+            df, use_dictionary=self.use_dictionary, use_spelling=self.use_spelling
+        )
+        obs = Observation(f"group-{k}")
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("turns"),
+            F.sum("dictionary_corrections").alias("corrections"),
+            F.sum("spelling_changes").alias("spelling_changes"),
+            F.sum(F.octet_length("normalized_text")).alias("bytes_extracted"),
+            F.sum(F.size("spans")).alias("spans"),
+        )
+        (out.write.mode("overwrite").parquet(str(self.output / f"group={k}")))
+        m = obs.get
+        manifest = {
+            "group": k,
+            "status": "complete",
+            "input_files": files,
+            "turns": m["turns"],
+            "corrections": int(m["corrections"] or 0),
+            "spelling_changes": int(m["spelling_changes"] or 0),
+            "bytes_extracted": int(m["bytes_extracted"] or 0),
+            "spans": int(m["spans"] or 0),
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+            "flags": {
+                "use_dictionary": self.use_dictionary,
+                "use_spelling": self.use_spelling,
+            },
+        }
+        self.manifest_dir.mkdir(parents=True, exist_ok=True)
+        tmp = self._manifest_path(k).with_suffix(".tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        tmp.rename(self._manifest_path(k))  # atomic commit of the checkpoint
+        return manifest
+
+    def run(self, resume: bool = True) -> dict:
+        """Run all groups; with ``resume`` skip already-committed ones.
+        Returns the aggregated job summary (also written to
+        ``_manifests/_SUMMARY.json``)."""
+        file_groups = self.input_file_groups()
+        done = self.completed_groups() if resume else set()
+        manifests = []
+        for k, files in enumerate(file_groups):
+            if k in done:
+                manifests.append(json.loads(self._manifest_path(k).read_text()))
+                continue
+            manifests.append(self.run_group(k, files))
+        summary = {
+            "groups": len(file_groups),
+            "resumed_groups": sorted(done),
+            "turns": sum(m["turns"] for m in manifests),
+            "corrections": sum(m["corrections"] for m in manifests),
+            "spelling_changes": sum(m["spelling_changes"] for m in manifests),
+            "bytes_extracted": sum(m["bytes_extracted"] for m in manifests),
+            "spans": sum(m["spans"] for m in manifests),
+            "wall_ms": sum(m["wall_ms"] for m in manifests),
+        }
+        (self.manifest_dir / "_SUMMARY.json").write_text(json.dumps(summary, indent=1))
+        return summary

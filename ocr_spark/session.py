@@ -1,0 +1,49 @@
+"""SparkSession construction with the engine's scale-oriented defaults.
+
+Every knob here is chosen for the 100 TB design point and merely *tested*
+on local[N]: AQE for runtime re-planning and skew-join splitting, Arrow for
+the Python exchange, bounded Arrow batches so multi-MB transcript turns
+don't blow executor-python memory, and a shuffle-partition count that the
+caller scales with cluster size.
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "ocr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = DEFAULT_CPUS
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: match core count; on a real cluster pass ~2-3x total cores
+        shuffle_partitions = max(cpus, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: coalesce tiny shuffle partitions, split skewed ones at runtime
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow exchange for pandas UDFs; bound batch size for long turns
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # target split size for the initial scan (128 MB default is fine at
+        # scale; explicit so it is a deliberate choice, not an accident)
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

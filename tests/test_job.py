@@ -1,0 +1,67 @@
+"""Batch job: lineage manifests, kill-and-resume, idempotence, counters."""
+import json
+import pathlib
+import sys
+
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "data"))
+import synth  # noqa: E402
+
+from ocr_spark.plans.job import ExtractionJob  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def transcripts(tmp_path_factory):
+    path = tmp_path_factory.mktemp("transcripts")
+    rows = synth.make_rows(n_convs=40, mean_turns=6, seed=7)
+    synth.write_table(str(path), rows, files=6)
+    return str(path), len(rows)
+
+
+def test_run_and_counters(spark, transcripts, tmp_path):
+    path, n_rows = transcripts
+    job = ExtractionJob(spark, path, str(tmp_path / "out"), groups=3)
+    summary = job.run()
+    assert summary["turns"] == n_rows
+    assert summary["groups"] == 3
+    assert summary["bytes_extracted"] > 0
+    # output parquet holds every turn with the full output schema
+    out = spark.read.parquet(str(tmp_path / "out" / "group=*"))
+    assert out.count() == n_rows
+    for col in ["normalized_text", "dictionary_corrections", "quality", "spans"]:
+        assert col in out.columns
+    # manifests carry lineage
+    manifests = sorted((tmp_path / "out" / "_manifests").glob("group-*.json"))
+    assert len(manifests) == 3
+    m0 = json.loads(manifests[0].read_text())
+    assert m0["status"] == "complete" and m0["input_files"]
+
+
+def test_resume_skips_completed_groups(spark, transcripts, tmp_path):
+    path, n_rows = transcripts
+    out = str(tmp_path / "out")
+    job = ExtractionJob(spark, path, out, groups=3)
+    # simulate a kill after group 0: run only group 0, leave 1..2 undone
+    groups = job.input_file_groups()
+    job.run_group(0, groups[0])
+    # a corrupt/partial manifest for group 1 must NOT count as done
+    job.manifest_dir.mkdir(parents=True, exist_ok=True)
+    (job.manifest_dir / "group-0001.json").write_text("{not json")
+    assert job.completed_groups() == {0}
+    summary = job.run(resume=True)
+    assert summary["resumed_groups"] == [0]
+    assert summary["turns"] == n_rows
+    df = spark.read.parquet(f"{out}/group=*")
+    assert df.count() == n_rows
+
+
+def test_rerun_is_idempotent(spark, transcripts, tmp_path):
+    path, n_rows = transcripts
+    out = str(tmp_path / "out")
+    job = ExtractionJob(spark, path, out, groups=2)
+    s1 = job.run()
+    s2 = ExtractionJob(spark, path, out, groups=2).run()  # fresh instance, resume
+    assert s1["turns"] == s2["turns"] == n_rows
+    assert s2["resumed_groups"] == [0, 1]
+    assert spark.read.parquet(f"{out}/group=*").count() == n_rows

@@ -1,0 +1,100 @@
+"""Learning accrual (A7), import merge (J4), union (J5), threshold approval
+— against the FIXTURES.md §2 contract: a word seen in exactly 5 turns gets
+approved, a word seen in 4 does not."""
+import datetime
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.extraction import extract_turns
+from ocr_spark.operators.learning import (
+    accrue_learned,
+    epoch_word_counts,
+    kamus_union,
+    learning_stats,
+    merge_import,
+    pending_top_k,
+)
+
+T0 = datetime.datetime(2026, 1, 1)
+
+
+def _turns(spark, texts):
+    rows = [(i, t, T0 + datetime.timedelta(seconds=i)) for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, "turn_idx int, text string, ts timestamp")
+
+
+def test_threshold_approval(spark):
+    # "zxqword" in 5 turns -> approved; "fourword" in 4 -> pending;
+    # per-turn dedup: repeating a word inside one turn counts once
+    texts = ["zxqword zxqword fourword"] * 4 + ["zxqword"]
+    df = extract_turns(_turns(spark, texts))
+    counts = epoch_word_counts(df)
+    learned = accrue_learned(None, counts)
+    rows = {r["word"]: r for r in learned.collect()}
+    assert rows["zxqword"]["frequency"] == 5 and rows["zxqword"]["is_approved"]
+    assert rows["zxqword"]["approved_at"] is not None
+    assert rows["fourword"]["frequency"] == 4 and not rows["fourword"]["is_approved"]
+    assert rows["fourword"]["approved_at"] is None
+    # first/last seen span the epoch
+    assert rows["zxqword"]["first_seen"] == T0
+    assert rows["zxqword"]["last_seen"] == T0 + datetime.timedelta(seconds=4)
+
+
+def test_accrual_across_epochs(spark):
+    e1 = extract_turns(_turns(spark, ["accrualword"] * 3))
+    learned1 = accrue_learned(None, epoch_word_counts(e1))
+    e2 = extract_turns(_turns(spark, ["accrualword"] * 2))
+    learned2 = accrue_learned(learned1, epoch_word_counts(e2))
+    row = learned2.filter(F.col("word") == "accrualword").first()
+    assert row["frequency"] == 5 and row["is_approved"]
+
+
+def test_validity_filter(spark):
+    # <3 chars and digit-bearing words never enter the table; the UDF's
+    # unknown_words are [a-z]{3,} so simulate raw epoch counts directly
+    df = spark.createDataFrame(
+        [([("ok-word")], T0), (["ab"], T0), (["bad1word"], T0)],
+        "unknown_words array<string>, ts timestamp",
+    )
+    words = [r["word"] for r in epoch_word_counts(df).collect()]
+    assert words == ["ok-word"]
+
+
+def test_merge_import_semantics(spark):
+    schema = (
+        "word string, frequency long, is_approved boolean, "
+        "first_seen timestamp, last_seen timestamp, approved_at timestamp"
+    )
+    existing = spark.createDataFrame(
+        [("alpha", 3, False, T0, T0, None), ("beta", 10, True, T0, T0, T0)], schema
+    )
+    imported = spark.createDataFrame(
+        [("alpha", 7, True, T0, T0, T0), ("gamma", 1, False, T0, T0, None)], schema
+    )
+    rows = {r["word"]: r for r in merge_import(existing, imported).collect()}
+    assert rows["alpha"]["frequency"] == 7  # max wins
+    assert rows["alpha"]["is_approved"]  # approve wins
+    assert rows["beta"]["frequency"] == 10
+    assert rows["gamma"]["frequency"] == 1  # new insert
+
+
+def test_union_topk_stats(spark):
+    schema = (
+        "word string, frequency long, is_approved boolean, "
+        "first_seen timestamp, last_seen timestamp, approved_at timestamp"
+    )
+    learned = spark.createDataFrame(
+        [
+            ("appr", 9, True, T0, T0, T0),
+            ("pend1", 4, False, T0, T0 + datetime.timedelta(1), None),
+            ("pend2", 4, False, T0, T0, None),
+            ("pend3", 2, False, T0, T0, None),
+        ],
+        schema,
+    )
+    base = spark.createDataFrame([("rumah",), ("appr",)], "word string")
+    assert kamus_union(base, learned).count() == 2  # dedup of "appr"
+    top = [r["word"] for r in pending_top_k(learned, 2).collect()]
+    assert top == ["pend1", "pend2"]  # freq desc, last_seen desc tiebreak
+    stats = learning_stats(learned).first()
+    assert (stats["total_words"], stats["approved"], stats["pending"]) == (4, 1, 3)
