@@ -1,0 +1,323 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline dedup re-expressed Spark-first. Design rules:
+
+* **Signatures are computed narrowly** — shingling, MinHash, and SimHash are
+  per-row array expressions (or one Arrow-batched pandas UDF for SimHash's
+  bit arithmetic); no shuffle until the bucket/group stage, so the expensive
+  part scales at scan speed.
+* **The only shuffles are on small keys** (hash / band bucket / token), all
+  AQE-coalesced; candidate verification joins are self-joins on bucket keys
+  whose groups are tiny by construction (band width tunes the bucket size).
+* **Deterministic hashing via md5** — portable across Spark, DuckDB (the
+  correctness oracle), and Python. A fixed-width lowercase-hex prefix of an
+  md5 compares lexicographically identically to its numeric value, so
+  ``min(hex)`` IS MinHash without any integer conversion.
+
+At 100 TB: exact dedup is one hash-aggregate (map-side partial combine);
+MinHash-LSH is the standard near-dup pipeline (shingle → signature →
+band → bucket-join) whose shuffle volume is #docs × #bands small fixed-width
+keys — independent of document length; pairwise verification touches only
+same-bucket candidates.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from ocr_spark.operators.textstats import WORD_RE, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup.
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate grouping: one row per distinct text with the keeper id
+    (min id — deterministic) and the duplicate count.
+
+    One hash-aggregate on ``md5(text)`` — partial map-side combine means the
+    shuffle carries one row per distinct text per input partition, not one
+    per document. Grouping on the 32-char digest, not the full text, keeps
+    shuffle rows fixed-width even for multi-MB documents.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash.
+# ---------------------------------------------------------------------------
+
+
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined token k-grams), distinct.
+
+    Built entirely from array expressions: transform over a 0..n-k index
+    sequence slicing the token array — narrow, codegen'd, no explode.
+    Documents with fewer than k tokens contribute their full token join
+    (a single shingle) so short docs still dedup.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    full = F.array(F.array_join(toks, " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(F.when(n >= k, grams).otherwise(full))
+
+
+def minhash_hex(shingle_col: Column, seed: int, width: int = 16) -> Column:
+    """One MinHash value as a ``width``-char hex string: min over shingles of
+    ``md5(seed || ':' || shingle)`` prefix. Lexicographic min of fixed-width
+    lowercase hex == numeric min, so this is exactly MinHash under the md5
+    hash family — and the same expression runs verbatim in the SQL oracle."""
+    return F.array_min(
+        F.transform(
+            shingle_col,
+            lambda s: F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, width
+            ),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(id, signature array<string>) — ``n_hashes`` MinHash values per doc.
+
+    Jaccard(a, b) ≈ fraction of equal signature positions. Narrow transform;
+    the shingle array materializes once per row and feeds all hashes.
+    """
+    sh = shingles(text_col, k)
+    sig = F.array(*[minhash_hex(sh, seed) for seed in range(n_hashes)])
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 4
+) -> DataFrame:
+    """Banded LSH: split each signature into ``n_bands`` contiguous bands,
+    bucket on (band index, band content), self-join buckets → candidate
+    pairs (id_a < id_b), deduplicated across bands.
+
+    The shuffle key is a fixed-width digest; bucket groups are small unless
+    documents truly collide, which is the point. The join is a same-key
+    equi-join AQE can handle even when one bucket is hot (skew-join split).
+    """
+    bands = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(
+                                F.col("signature"),
+                                b * (F.size("signature") / n_bands).cast("int") + 1,
+                                (F.size("signature") / n_bands).cast("int"),
+                            ),
+                            "|",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("_pos", "bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    signature-similarity verification (fraction of equal positions ≥
+    threshold). Returns (id_a, id_b, sig_sim)."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k).cache()
+    cands = lsh_candidate_pairs(sigs, n_bands)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    sim = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.size("sig_a"),
+        6,
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", sim.alias("sig_sim"))
+        .filter(F.col("sig_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram (token-set) Jaccard — exact pairwise similarity via token join.
+# ---------------------------------------------------------------------------
+
+
+def jaccard_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over pairs sharing ≥1 shingle.
+
+    explode(shingles) → self-join on shingle → groupBy pair → |∩| /
+    (|a|+|b|-|∩|). The join key is a shingle string; hot shingles create
+    skew, which AQE skew-join splits. Exact but O(pairs-sharing-a-shingle) —
+    the LSH variant above is the scale path; this one is the precision
+    oracle/verifier. Returns (id_a, id_b, jaccard)."""
+    sized = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+    ).select("id", "sh", F.size("sh").alias("n_sh"))
+    ex = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+    )
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash.
+# ---------------------------------------------------------------------------
+
+
+def _simhash64(token_lists: pd.Series) -> pd.Series:
+    """64-bit SimHash per token list: per token take the top-64-bit md5,
+    vote +1/-1 per bit position, bit = 1 where the vote sum is positive.
+    Returns signed int64 (Spark LongType has no unsigned variant)."""
+    out = []
+    for toks in token_lists:
+        votes = [0] * 64
+        for t in toks if toks is not None else []:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for b in range(64):
+                votes[b] += 1 if (h >> (63 - b)) & 1 else -1
+        v = 0
+        for b in range(64):
+            if votes[b] > 0:
+                v |= 1 << (63 - b)
+        # two's-complement into signed int64
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.Series(out, dtype="int64")
+
+
+@pandas_udf(LongType())
+def simhash64_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for token_lists in batches:
+        yield _simhash64(token_lists)
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Adds ``simhash`` (int64). Tokenization stays JVM-side (same regex as
+    the rest of the suite); only the bit-vote arithmetic crosses to Python,
+    Arrow-batched, on the distinct token array — narrow, no shuffle."""
+    return df.withColumn(
+        "simhash", simhash64_udf(F.array_distinct(tokens(text_col)))
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found by the
+    block-permutation trick: split the 64-bit hash into ``n_blocks`` blocks;
+    any pair within distance < n_blocks agrees on ≥1 whole block → join on
+    (block index, block value) as the LSH bucket, verify with bit_count.
+
+    ``bit_count(a ^ b)`` is a built-in (JVM codegen); the join key is a
+    16-bit block value + index. Returns (id_a, id_b, hamming)."""
+    w = 64 // n_blocks
+    hashed = df.select(F.col(id_col).alias("id"), "simhash").withColumn(
+        "simhash", F.col("simhash").cast("long")
+    )
+    with_blocks = hashed.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * w).bitwiseAND(
+                        F.lit((1 << w) - 1)
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = with_blocks.alias("a")
+    b = with_blocks.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Brute-force cosine top-k as the exactness baseline, a random-hyperplane-LSH
+bucketed variant as the scale path, and embedding-cosine near-dup pairs.
+
+Spark-first design: dot products and norms are built-in higher-order array
+functions (``zip_with`` + ``aggregate``) evaluated JVM-side — no Python in
+the hot path. The LSH variant turns all-pairs O(n²) into a bucketed join
+whose key is a compact sign-bit string; planes are generated once on the
+driver from a seed (deterministic) and enter the plan as literals — the
+Catalyst equivalent of a broadcast of a tiny model.
+
+At 100 TB / billions of vectors: brute-force top-k against one query is a
+single narrow pass + TakeOrderedAndProject (no full sort, no shuffle of the
+vectors themselves); the near-dup join shuffles only (bucket, id, vector)
+for same-bucket candidates, and multi-probe = more hyperplane tables, each
+a cheap narrow column.
+"""
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column | str) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast(
+        "array<double>"
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ via zip_with + aggregate — strict left-to-right fold, so the
+    floating-point sum order is deterministic and reproducible in the SQL
+    oracle (DuckDB's list_inner_product folds in the same index order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    The query enters as a literal array; score is a narrow expression; the
+    global top-k is TakeOrderedAndProject (each partition keeps k rows, the
+    driver merges) — no shuffle, no full sort, scan-bound at any scale.
+    Deterministic tie-break on id. Returns (id, score) rounded to 6 dp.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    v = _as_double(vec_col)
+    score = F.round(cosine(v, q), 6)
+    return (
+        df.select(F.col(id_col).alias("id"), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-ish random hyperplanes (Box-Muller from a seeded
+    PRNG — no numpy needed on executors; this runs once on the driver)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def sign_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket: one sign bit per plane, concatenated to
+    a string key. Vectors with high cosine land in the same bucket with
+    probability (1 - θ/π)^n_planes."""
+    v = vec_col.cast("array<double>")
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(float(x)) for x in p]).cast("array<double>")) >= 0, "1").otherwise("0")
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: prefilter to the query's LSH bucket, exact-rerank
+    inside it. One narrow pass + a pushed-down bucket filter — the IVF-style
+    scale path (bucket column can be a partition/cluster key at rest so the
+    scan prunes to ~1/2^n_planes of the data)."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qbits = "".join(
+        "1" if sum(px * qx for px, qx in zip(p, query_vec)) >= 0 else "0"
+        for p in planes
+    )
+    bucketed = df.withColumn("_bucket", sign_bucket(F.col(vec_col), planes))
+    return cosine_topk(
+        bucketed.filter(F.col("_bucket") == qbits), query_vec, k, id_col, vec_col
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH-bucketed self-join + exact
+    verification. Only same-bucket pairs are scored; n_planes trades recall
+    for join fan-in. Returns (id_a, id_b, cos) with cos ≥ threshold."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cos = F.round(cosine(F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )

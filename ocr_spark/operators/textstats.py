@@ -1,0 +1,131 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting, and document fingerprinting over a
+``documents``-style table. These generalize the reference's per-document
+scoring ideas (alfalaq12/OCR ``scoring_service.py:62-126`` word extraction +
+ratio scoring) to the generic training-data-curation setting.
+
+Everything here is **pure built-in column expressions** — no Python UDFs, no
+shuffle (all narrow per-row transforms), whole-stage-codegen friendly — so
+the operators scale linearly with input splits: at 100 TB these run at scan
+speed and the only cost is the parquet read itself.
+
+Determinism contract: every function has an exact ANSI-SQL re-expression
+(used as the DuckDB oracle in ``__spark_entry__.py``) — same regexes, same
+word lists, same rounding.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: the word regex shared with the reference's scoring/unknown-word extraction
+#: (scoring_service.py:71, dictionary_corrector.py:226)
+WORD_RE = "[a-z]{3,}"
+
+#: tiny deterministic stopword lists for the lang-ID heuristic (public
+#: high-frequency function words; the heuristic is n-gram/stopword voting,
+#: standard practice for cheap language ID)
+EN_STOPWORDS = (
+    "the of and to in a is that it for on with as are was at be this have "
+    "from or by not but all were when we there can an your which their"
+).split()
+ID_STOPWORDS = (
+    "yang dan di ke dari untuk dengan pada adalah ini itu tidak dalam akan "
+    "ada juga saya kami mereka bisa harus sudah belum atau tersebut dapat"
+).split()
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Lowercased >=3-letter word tokens as an array (codegen, no UDF)."""
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token / whitespace-token / char counts per document.
+
+    ``n_tokens``: regex word tokens; ``n_ws_tokens``: whitespace-split count
+    (BPE-ish upper bound ``n_bpe_est`` = ceil(chars/4), the common
+    chars-per-token rule of thumb, as a cheap budget estimator).
+    """
+    return df.select(
+        "*",
+        F.size(tokens(text_col)).alias("n_tokens"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_ws_tokens"),
+        F.ceil(F.length(text_col) / 4).cast("long").alias("n_bpe_est"),
+    )
+
+
+def _hit_count(text_col: str, words: list[str]) -> Column:
+    """How many tokens of ``text_col`` are in ``words`` (array intersection
+    against a literal array — broadcast-free, evaluated per row in codegen)."""
+    toks = tokens(text_col)
+    lit = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit, t)))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count stopword hits per language, take the
+    argmax (ties and zero-evidence rows → 'und'). Adds ``lang_pred``,
+    ``en_hits``, ``id_hits``."""
+    out = df.withColumn("en_hits", _hit_count(text_col, EN_STOPWORDS)).withColumn(
+        "id_hits", _hit_count(text_col, ID_STOPWORDS)
+    )
+    return out.withColumn(
+        "lang_pred",
+        F.when(F.col("en_hits") > F.col("id_hits"), F.lit("en"))
+        .when(F.col("id_hits") > F.col("en_hits"), F.lit("id"))
+        .otherwise(F.lit("und")),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0,100].
+
+    Features: length, alpha ratio, punctuation ratio, stopword ratio,
+    mean word length. Score = 100 * (0.4*stopword_signal + 0.3*alpha_ratio
+    + 0.3*length_signal), truncated toward zero like the reference's
+    ``int()`` scoring (scoring_service.py:159-164). All ratios are exact
+    rational arithmetic over counts, rounded to 4 dp — reproducible in SQL.
+    """
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    n_punct = F.length(
+        F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"()\[\]-]", "")
+    )
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    stop_lit = F.array(*[F.lit(w) for w in EN_STOPWORDS + ID_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
+
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_toks > 0, n_stop / n_toks).otherwise(F.lit(0.0))
+    # length signal: saturating ramp, full credit at >=200 chars
+    len_signal = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    score = F.floor(
+        100 * (0.4 * stop_ratio + 0.3 * alpha_ratio + 0.3 * len_signal)
+    ).cast("int")
+
+    return df.select(
+        "*",
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of the casefolded, whitespace-collapsed,
+    punctuation-stripped text — the standard "normalized-content hash" used
+    for fuzzy-exact dedup of near-identical formatting variants."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.withColumn("fingerprint", F.md5(normalized))

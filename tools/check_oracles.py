@@ -1,0 +1,135 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark against ``$SF_DIR`` (default
+sf0.01) and, when an ``oracle_sql()`` entry exists, the oracle on DuckDB
+with the same tables registered as views. Compares row count, column names,
+and an order-insensitive value hash (rows sorted by their string repr,
+columns sorted by name). Exit code 1 on any mismatch.
+
+  python tools/check_oracles.py [--sf /root/testdata/sf0.01] [--only name,...]
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+import time
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_canon(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = fn(spark, args.sf)
+            cols = sdf.columns
+            rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        dt = time.monotonic() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only, {len(rows)} rows ({dt:.1f}s)")
+            if not rows and name != "jaccard_near_dup":
+                print(f"     WARNING {name} returned 0 rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        sh, oh = value_hash(cols, rows), value_hash(ocols, orows)
+        if sorted(cols) != sorted(ocols):
+            print(f"FAIL {name}: cols {sorted(cols)} vs {sorted(ocols)}")
+            failed.append(name)
+        elif len(rows) != len(orows):
+            print(f"FAIL {name}: rowcount {len(rows)} vs {len(orows)}")
+            failed.append(name)
+        elif sh != oh:
+            print(f"FAIL {name}: value hash {sh} vs {oh} ({len(rows)} rows)")
+            o = sorted(range(len(cols)), key=lambda i: cols[i])
+            srepr = sorted("\x1f".join(_canon(r[i]) for i in o) for r in rows)
+            oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            orepr = sorted("\x1f".join(_canon(r[i]) for i in oo) for r in orows)
+            for a, b in zip(srepr, orepr):
+                if a != b:
+                    print(f"     spark : {a[:200]}")
+                    print(f"     oracle: {b[:200]}")
+                    break
+            failed.append(name)
+        else:
+            print(f"PASS {name}: {len(rows)} rows, hash {sh} ({dt:.1f}s)")
+    spark.stop()
+    if failed:
+        print(f"\n{len(failed)} FAILED: {failed}")
+        return 1
+    print("\nall queries passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
