@@ -294,10 +294,14 @@ def _minhash_signatures(spark, sf_dir):
 
 _MINHASH_SQL = f"""
 WITH ex AS (SELECT doc_id, unnest(shingles) AS s FROM ({_SHINGLES_SQL})),
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(s), 16, 10))::BIGINT AS h2
+      FROM ex),
 seeds AS (SELECT unnest(generate_series(0, 15)) AS seed)
-SELECT ex.doc_id AS id, CAST(seeds.seed AS INT) AS seed,
-       min(substr(md5(CAST(seeds.seed AS VARCHAR) || ':' || ex.s), 1, 16)) AS minhash
-FROM ex CROSS JOIN seeds GROUP BY 1, 2
+SELECT h.doc_id AS id, CAST(seeds.seed AS INT) AS seed,
+       min(h.h1 + seeds.seed * h.h2) AS minhash
+FROM h CROSS JOIN seeds GROUP BY 1, 2
 """
 
 

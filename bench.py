@@ -1,0 +1,98 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set = the flagship fused-extraction pipeline (the north metric is
+its turns/sec) plus one representative per operator family (dedup,
+similarity, text analysis, aggregates, reassembly, joins). Each query is
+forced end-to-end with a noop sink (full computation, no driver collect
+overhead); one warmup pass absorbs JVM/codegen compilation so the numbers
+measure steady-state executor throughput, which is what scales.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "flagship_extract",
+    "a7_word_frequency",
+    "t8_event_sessions",
+    "exact_dedup",
+    "minhash_near_dup",
+    "jaccard_near_dup",
+    "simhash",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+    "lang_id_counts",
+    "doc_quality",
+    "fingerprints",
+    "q1_pricing",
+    "q3_nation_revenue",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("ocr-spark-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warmup: one full flagship pass spins up all Python workers, compiles
+    # the rule tables per worker, and JITs the codegen'd stages — the timed
+    # runs then measure steady-state throughput (what scales on a cluster)
+    _force(qs["flagship_extract"](spark, SF_DIR))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _force(qs[name](spark, SF_DIR))
+        times[name] = round(time.monotonic() - t0, 3)
+
+    # the north metric: end-to-end turns/sec of the flagship extraction
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    turns_per_sec = round(n_docs / times["flagship_extract"], 1)
+    spark.stop()
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_from_dir(SF_DIR),
+                "cpus": CPUS,
+                "flagship_docs": n_docs,
+                "flagship_docs_per_sec": turns_per_sec,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -81,19 +81,8 @@ def shingles(text_col: str = "text", k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(full))
 
 
-def minhash_hex(shingle_col: Column, seed: int, width: int = 16) -> Column:
-    """One MinHash value as a ``width``-char hex string: min over shingles of
-    ``md5(seed || ':' || shingle)`` prefix. Lexicographic min of fixed-width
-    lowercase hex == numeric min, so this is exactly MinHash under the md5
-    hash family — and the same expression runs verbatim in the SQL oracle."""
-    return F.array_min(
-        F.transform(
-            shingle_col,
-            lambda s: F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, width
-            ),
-        )
-    )
+#: sentinel larger than any reachable hash value (h1 < 2^60, i*h2 < 2^44)
+_MINHASH_INIT = 1 << 62
 
 
 def minhash_signatures(
@@ -103,13 +92,40 @@ def minhash_signatures(
     n_hashes: int = 16,
     k: int = 3,
 ) -> DataFrame:
-    """(id, signature array<string>) — ``n_hashes`` MinHash values per doc.
+    """(id, signature array<long>) — ``n_hashes`` MinHash values per doc.
 
-    Jaccard(a, b) ≈ fraction of equal signature positions. Narrow transform;
-    the shingle array materializes once per row and feeds all hashes.
+    Single-pass construction: ONE md5 per shingle yields two independent
+    words (h1 = 60 bits, h2 = 40 bits); hash family gᵢ = h1 + i·h2 (the
+    standard two-universal combination; no overflow since i·h2 < 2^44).
+    The per-position minimum folds over the shingle array with
+    aggregate+zip_with, so the shingle array is built once per row and the
+    whole signature is one narrow expression — 16× less hashing than the
+    naive per-seed scan, same estimator. Jaccard(a,b) ≈ fraction of equal
+    positions. The identical arithmetic runs in the SQL oracle via
+    ``('0x' || substr(md5(s),..))::BIGINT``.
     """
     sh = shingles(text_col, k)
-    sig = F.array(*[minhash_hex(sh, seed) for seed in range(n_hashes)])
+    per_shingle = F.transform(
+        sh,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5(s), 16, 10), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        ),
+    )
+    init = F.array_repeat(F.lit(_MINHASH_INIT).cast("long"), n_hashes)
+    sig = F.aggregate(
+        per_shingle,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[h["h1"] + F.lit(i) * h["h2"] for i in range(n_hashes)]),
+            lambda x, y: F.least(x, y),
+        ),
+    )
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
@@ -133,10 +149,13 @@ def lsh_candidate_pairs(
                     b.alias("band"),
                     F.md5(
                         F.array_join(
-                            F.slice(
-                                F.col("signature"),
-                                b * (F.size("signature") / n_bands).cast("int") + 1,
-                                (F.size("signature") / n_bands).cast("int"),
+                            F.transform(
+                                F.slice(
+                                    F.col("signature"),
+                                    b * (F.size("signature") / n_bands).cast("int") + 1,
+                                    (F.size("signature") / n_bands).cast("int"),
+                                ),
+                                lambda x: x.cast("string"),
                             ),
                             "|",
                         )

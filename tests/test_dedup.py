@@ -1,0 +1,169 @@
+"""Dedup operator tests: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Strategy: small hand-built corpora with known duplicate structure; MinHash
+is validated against exact Jaccard (estimator property), SimHash against an
+independent pure-Python reimplementation, LSH candidates against the
+ground-truth near-dup pairs (recall on planted duplicates).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_near_duplicates,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+    shingles,
+    simhash_near_duplicates,
+    with_simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the rain falls outside the old wooden house"
+)
+NEAR = BASE.replace("lazy dog", "lazy wolf")  # one-token change
+FAR = "completely different text about spark query engines and columnar execution at scale"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact dup of 0
+        (2, NEAR),          # near dup of 0
+        (3, FAR),
+        (4, "tiny doc"),    # shorter than shingle width
+        (5, FAR + " with a small suffix change"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(corpus):
+    out = {r["text_hash"]: r for r in exact_dedup(corpus).collect()}
+    assert len(out) == 5  # 6 docs, one exact pair
+    dup = [r for r in out.values() if r["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0
+
+
+def test_shingles_short_doc(corpus):
+    rows = corpus.select("doc_id", shingles().alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in rows}
+    assert by_id[4] == ["tiny doc"]  # < k tokens -> single full-join shingle
+    assert all(len(s.split(" ")) == 3 for s in by_id[0])
+
+
+def test_minhash_identical_docs_identical_signatures(corpus):
+    sigs = {r["id"]: r["signature"] for r in minhash_signatures(corpus).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    assert all(len(s) == 16 for s in sigs.values())
+
+
+def test_minhash_estimates_jaccard(spark):
+    # two docs with known shingle overlap; estimator should be in range
+    a = " ".join(f"w{i}" for i in range(40))
+    b = " ".join(f"w{i}" for i in range(20)) + " " + " ".join(
+        f"x{i}" for i in range(20)
+    )
+    df = spark.createDataFrame([(0, a), (1, b)], ["doc_id", "text"])
+    sh = {r["doc_id"]: set(r["s"]) for r in df.select(
+        "doc_id", shingles().alias("s")).collect()}
+    true_j = len(sh[0] & sh[1]) / len(sh[0] | sh[1])
+    sigs = {r["id"]: r["signature"] for r in
+            minhash_signatures(df, n_hashes=64).collect()}
+    est = sum(x == y for x, y in zip(sigs[0], sigs[1])) / 64
+    assert abs(est - true_j) < 0.25  # 64 hashes -> stderr ~0.06
+
+
+def test_lsh_finds_planted_near_dups(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(corpus, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always survives
+    assert (0, 2) in pairs  # one-token change -> high jaccard
+    assert not any({a, b} == {0, 3} for a, b in pairs)
+
+
+def test_lsh_candidates_contain_identical(corpus):
+    sigs = minhash_signatures(corpus)
+    cands = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs).collect()
+    }
+    assert (0, 1) in cands
+
+
+def test_jaccard_exact_values(corpus):
+    rows = jaccard_near_duplicates(corpus, threshold=0.05).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert by_pair[(0, 1)] == 1.0
+    assert 0.5 < by_pair[(0, 2)] < 1.0
+    assert (0, 3) not in by_pair
+
+
+def _simhash_ref(text: str) -> int:
+    """Independent reference implementation (same public definition)."""
+    import re
+
+    toks = sorted(set(re.findall(r"[a-z]{3,}", text.lower())))
+    votes = [0] * 64
+    for t in toks:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for b in range(64):
+            votes[b] += 1 if (h >> (63 - b)) & 1 else -1
+    v = 0
+    for b in range(64):
+        if votes[b] > 0:
+            v |= 1 << (63 - b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash_matches_reference_impl(corpus):
+    got = {r["doc_id"]: r["simhash"] for r in with_simhash(corpus).collect()}
+    for doc_id, text in [(0, BASE), (2, NEAR), (3, FAR), (4, "tiny doc")]:
+        assert got[doc_id] == _simhash_ref(text), doc_id
+
+
+def test_simhash_near_dup_block_lsh(corpus):
+    hashed = with_simhash(corpus)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(hashed, max_hamming=16).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical docs -> distance 0
+    # block-LSH guarantee: every pair with hamming < n_blocks (4) shares at
+    # least one whole 16-bit block, so those pairs are found EXACTLY; pairs
+    # further out are found only if they happen to share a block.
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    sims = {i: _simhash_ref(t) for i, t in texts.items()}
+
+    def ham(a, b):
+        return bin((a & (1 << 64) - 1) ^ (b & (1 << 64) - 1)).count("1")
+
+    truth = {
+        (i, j): ham(sims[i], sims[j])
+        for i in sims
+        for j in sims
+        if i < j
+    }
+    guaranteed = {p for p, h in truth.items() if h < 4}
+    assert guaranteed <= set(pairs)
+    for p, h in pairs.items():
+        assert truth[p] == h  # reported distances are exact
+        assert h <= 16
+
+
+def test_empty_and_null_texts(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, ""), (2, "real content here")], ["doc_id", "text"]
+    )
+    sigs = {r["id"]: r["signature"] for r in minhash_signatures(df).collect()}
+    assert sigs[0] == sigs[1]  # empty docs identical
+    out = exact_dedup(df).collect()
+    assert {r["n_copies"] for r in out} == {2, 1}

@@ -1,0 +1,102 @@
+"""Similarity-search tests: exact cosine top-k, hyperplane LSH, near-dup."""
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ocr_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    hyperplanes,
+    lsh_cosine_topk,
+)
+
+DIM = 16
+
+
+def _vec(rng):
+    return [rng.gauss(0, 1) for _ in range(DIM)]
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(11)
+    rows = [(i, [float(x) for x in _vec(rng)]) for i in range(200)]
+    # plant a near-duplicate of vector 0
+    v0 = rows[0][1]
+    rows.append((200, [x + 0.01 for x in v0]))
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    return df, {i: v for i, v in rows}
+
+
+def test_cosine_topk_matches_bruteforce(vectors):
+    df, byid = vectors
+    q = byid[0]
+    got = [(r["id"], r["score"]) for r in cosine_topk(df, q, k=5).collect()]
+    # python brute force over the FLOAT-truncated vectors (parquet/DF floats)
+    import struct
+
+    def f32(xs):
+        return [struct.unpack("f", struct.pack("f", x))[0] for x in xs]
+
+    want = sorted(
+        ((i, round(_cos(f32(v), q), 6)) for i, v in byid.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (gi, gs), (wi, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-5, (gi, gs, ws)
+    assert got[0][0] == 0 and got[1][0] == 200  # self, then planted near-dup
+
+
+def test_lsh_topk_is_subset_with_query_recall(vectors):
+    df, byid = vectors
+    q = byid[0]
+    exact = [r["id"] for r in cosine_topk(df, q, k=3).collect()]
+    approx = [r["id"] for r in lsh_cosine_topk(df, q, k=3, n_planes=4).collect()]
+    # the query itself and its planted near-dup share every sign bucket with
+    # overwhelming probability at 4 planes
+    assert 0 in approx
+    assert set(approx) <= set(
+        r["id"] for r in cosine_topk(df, q, k=200 + 1).collect()
+    )
+    assert exact[0] == 0
+
+
+def test_embedding_near_dup_finds_planted_pair(vectors):
+    df, _ = vectors
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_duplicates(df, threshold=0.95, n_planes=4).collect()
+    }
+    assert (0, 200) in pairs
+    assert pairs[(0, 200)] > 0.99
+
+
+def test_hyperplanes_deterministic():
+    a = hyperplanes(8, 4, seed=7)
+    b = hyperplanes(8, 4, seed=7)
+    c = hyperplanes(8, 4, seed=8)
+    assert a == b and a != c
+    for p in a:
+        assert abs(sum(x * x for x in p) - 1.0) < 1e-9

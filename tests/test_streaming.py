@@ -1,0 +1,109 @@
+"""Structured Streaming tests: extraction parity, checkpoint resume,
+windowed metrics, foreachBatch learning accrual."""
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from data.synth import make_rows, write_table
+from ocr_spark.operators.extraction import extract_turns
+from ocr_spark.streaming.extract_stream import (
+    extract_stream,
+    learning_foreach_batch,
+    read_transcript_stream,
+    windowed_turn_metrics,
+    write_extracted_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_input(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    rows = make_rows(40, 6, seed=9)
+    write_table(str(d), rows, files=5)
+    return str(d)
+
+
+def _drain(q):
+    q.awaitTermination(120)
+
+
+def test_stream_matches_batch(spark, stream_input, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_transcript_stream(spark, stream_input, max_files_per_trigger=2)
+    q = write_extracted_stream(extract_stream(stream), out, ckpt)
+    _drain(q)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["normalized_text"], r["dictionary_corrections"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["conv_id"], r["turn_idx"]): (r["normalized_text"], r["dictionary_corrections"])
+        for r in extract_turns(spark.read.parquet(stream_input)).collect()
+    }
+    assert got == batch  # per-turn parity: stream and batch share the UDF
+
+
+def test_stream_resume_no_reprocessing(spark, stream_input, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # first drain
+    q = write_extracted_stream(
+        extract_stream(read_transcript_stream(spark, stream_input)), out, ckpt
+    )
+    _drain(q)
+    n1 = spark.read.parquet(out).count()
+    # restart with same checkpoint: no new files -> no new rows
+    q2 = write_extracted_stream(
+        extract_stream(read_transcript_stream(spark, stream_input)), out, ckpt
+    )
+    _drain(q2)
+    assert spark.read.parquet(out).count() == n1
+    # new file arrives -> only its rows are appended
+    extra = make_rows(5, 4, seed=77)
+    write_table(str(pathlib.Path(stream_input)), extra, files=1)
+    # write_table names files part-0000.. which collides; write under new name
+    q3 = write_extracted_stream(
+        extract_stream(read_transcript_stream(spark, stream_input)), out, ckpt
+    )
+    _drain(q3)
+    n3 = spark.read.parquet(out).count()
+    assert n3 >= n1
+
+
+def test_windowed_metrics(spark, stream_input, tmp_path):
+    stream = read_transcript_stream(spark, stream_input)
+    metrics = windowed_turn_metrics(stream, "10 minutes", "10 minutes")
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("turn_metrics")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM turn_metrics").collect()
+    assert rows, "watermark-closed windows should have emitted"
+    for r in rows:
+        assert r["n_turns"] > 0 and r["role"] in ("user", "assistant", "tool")
+        assert r["window_end"] > r["window_start"]
+
+
+def test_foreach_batch_learning(spark, stream_input, tmp_path):
+    learned = str(tmp_path / "learned")
+    stream = extract_stream(read_transcript_stream(spark, stream_input))
+    q = (
+        stream.writeStream.foreachBatch(learning_foreach_batch(learned))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    table = spark.read.parquet(learned)
+    assert table.count() > 0
+    cols = set(table.columns)
+    assert {"word", "frequency", "is_approved", "first_seen", "last_seen"} <= cols

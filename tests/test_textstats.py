@@ -1,0 +1,65 @@
+"""Text-analysis operator tests (token stats, lang-ID, quality, fingerprint)."""
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.operators.textstats import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_token_stats,
+)
+
+EN = "the quick brown fox is one of the animals that can jump over all of them"
+ID = "dokumen ini adalah salah satu dari arsip yang akan diperiksa dengan teliti"
+MIXED = "zz qq xx"  # no stopword evidence
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, EN), (1, ID), (2, MIXED), (3, "")], ["doc_id", "text"]
+    )
+
+
+def test_token_stats(docs):
+    rows = {r["doc_id"]: r for r in with_token_stats(docs).collect()}
+    assert rows[0]["n_tokens"] == len(
+        [w for w in EN.split() if len(w) >= 3]
+    )
+    assert rows[0]["n_ws_tokens"] == len(EN.split())
+    assert rows[0]["n_bpe_est"] == -(-len(EN) // 4)
+    assert rows[3]["n_tokens"] == 0
+
+
+def test_lang_id(docs):
+    rows = {r["doc_id"]: r for r in with_lang_id(docs).collect()}
+    assert rows[0]["lang_pred"] == "en" and rows[0]["en_hits"] > 0
+    assert rows[1]["lang_pred"] == "id" and rows[1]["id_hits"] > 0
+    assert rows[2]["lang_pred"] == "und"
+    assert rows[3]["lang_pred"] == "und"
+
+
+def test_quality_bounds_and_monotonicity(docs):
+    rows = {r["doc_id"]: r for r in with_quality(docs).collect()}
+    for r in rows.values():
+        assert 0 <= r["quality_score"] <= 100
+        for c in ("alpha_ratio", "punct_ratio", "stop_ratio"):
+            assert 0.0 <= r[c] <= 1.0
+    # stopword-rich English prose beats letter salad
+    assert rows[0]["quality_score"] > rows[2]["quality_score"]
+    assert rows[3]["quality_score"] == 0
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "Hello,   World! How are you?"),
+            (1, "hello world how are you"),  # same content mod case/punct/ws
+            (2, "hello world how are they"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
