@@ -105,6 +105,82 @@ FROM events GROUP BY 1
 """
 
 
+def _a2_zero_filled(spark, sf_dir):
+    """A2 with the missing-day zero-fill the reference does client-side
+    (routers/admin.py:199-217) — sequence() + broadcast left join."""
+    from ocr_spark.operators.metrics import requests_by_date
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "success", F.col("event_type") != "error"
+    )
+    return requests_by_date(ev, "ts", "success", zero_fill=True)
+
+
+_A2Z_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date,
+         CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS successful,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failed
+  FROM events GROUP BY 1
+),
+days AS (
+  SELECT unnest(generate_series((SELECT min(date) FROM daily),
+                                (SELECT max(date) FROM daily),
+                                INTERVAL 1 DAY))::DATE AS date
+)
+SELECT days.date AS date,
+       COALESCE(successful, 0) AS successful,
+       COALESCE(failed, 0) AS failed
+FROM days LEFT JOIN daily ON days.date = daily.date
+"""
+
+
+def _s6_import_merge(spark, sf_dir):
+    """J4/S6 import-merge semantics (routers/learning.py:302-340) over two
+    derived word tables: frequencies take max, approve-wins, timestamps
+    widen. Split the documents table in half to build the two sides —
+    deterministic, no external data."""
+    from ocr_spark.operators.learning import merge_import
+
+    words = _doc_words(spark, sf_dir)
+    ts0 = F.lit("2026-01-01 00:00:00").cast("timestamp")
+
+    def side(pred):
+        return (
+            words.filter(pred)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("frequency"))
+            .select(
+                "word",
+                "frequency",
+                (F.col("frequency") >= 3).alias("is_approved"),
+                ts0.alias("first_seen"),
+                ts0.alias("last_seen"),
+                F.lit(None).cast("timestamp").alias("approved_at"),
+            )
+        )
+
+    merged = merge_import(side(F.col("doc_id") < 250), side(F.col("doc_id") >= 250))
+    return merged.select("word", "frequency", "is_approved")
+
+
+def _s6_sql() -> str:
+    return f"""
+WITH words AS ({_DOC_WORDS_SQL}),
+a AS (SELECT word, CAST(count(*) AS BIGINT) AS frequency, count(*) >= 3 AS is_approved
+      FROM words WHERE doc_id < 250 GROUP BY word),
+b AS (SELECT word, CAST(count(*) AS BIGINT) AS frequency, count(*) >= 3 AS is_approved
+      FROM words WHERE doc_id >= 250 GROUP BY word)
+SELECT COALESCE(a.word, b.word) AS word,
+       GREATEST(COALESCE(a.frequency, 0), COALESCE(b.frequency, 0)) AS frequency,
+       (COALESCE(a.is_approved, FALSE) OR COALESCE(b.is_approved, FALSE)) AS is_approved
+FROM a FULL OUTER JOIN b ON a.word = b.word
+"""
+
+
+
+
+
 def _a5_counts_by_type(spark, sf_dir):
     from ocr_spark.operators.metrics import counts_by_type
 
@@ -620,12 +696,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregates A1/A2/A5/A7/A8/A9
         "a1_event_stats": _a1_event_stats,
         "a2_events_by_date": _a2_events_by_date,
+        "a2_zero_filled": _a2_zero_filled,
         "a5_counts_by_type": _a5_counts_by_type,
         "a7_word_frequency": _a7_word_frequency,
         "a8_top_pending": _a8_top_pending,
         "a9_event_pagination": _a9_event_pagination,
         # sinks / reassembly / joins (S4, T8, J2)
         "s4_preview": _s4_preview,
+        "s6_import_merge": _s6_import_merge,
         "t8_event_sessions": _t8_event_sessions,
         "j2_unknown_antijoin": _j2_unknown_antijoin,
         # dedup family
@@ -659,11 +737,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "a1_event_stats": _A1_SQL,
         "a2_events_by_date": _A2_SQL,
+        "a2_zero_filled": _A2Z_SQL,
         "a5_counts_by_type": _A5_SQL,
         "a7_word_frequency": _A7_SQL,
         "a8_top_pending": _A8_SQL,
         "a9_event_pagination": _A9_SQL,
         "s4_preview": _S4_SQL,
+        "s6_import_merge": _s6_sql(),
         "t8_event_sessions": _T8_SQL,
         "j2_unknown_antijoin": _J2_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,

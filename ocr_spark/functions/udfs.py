@@ -69,6 +69,18 @@ def _row_to_record(out: dict) -> dict:
     return out
 
 
+#: column order must match EXTRACT_SCHEMA
+_OUT_COLS = (
+    "extracted_text",
+    "normalized_text",
+    "dictionary_corrections",
+    "spelling_changes",
+    "quality",
+    "unknown_words",
+    "spans",
+)
+
+
 def make_extract_udf(
     use_dictionary: bool = True,
     use_spelling: bool = True,
@@ -77,7 +89,9 @@ def make_extract_udf(
     """Build the fused extraction UDF for a given flag combination.
 
     Flags are closure-captured (constant per job), so Catalyst sees a plain
-    deterministic scalar UDF of one string column.
+    deterministic scalar UDF of one string column. The batch result is
+    assembled column-wise (dict-of-lists) — ``DataFrame.from_records`` over
+    per-row dicts costs ~15% of the whole UDF at steady state.
     """
 
     @pandas_udf(EXTRACT_SCHEMA)
@@ -86,18 +100,29 @@ def make_extract_udf(
         from ocr_spark.functions.textops import extract_turn
 
         for texts in batches:
-            records = [
-                _row_to_record(
-                    extract_turn(
-                        t if isinstance(t, str) else None,
-                        use_dictionary=use_dictionary,
-                        use_spelling=use_spelling,
-                        fuzzy=fuzzy,
-                    )
+            cols: dict[str, list] = {name: [] for name in _OUT_COLS}
+            for t in texts:
+                out = extract_turn(
+                    t if isinstance(t, str) else None,
+                    use_dictionary=use_dictionary,
+                    use_spelling=use_spelling,
+                    fuzzy=fuzzy,
                 )
-                for t in texts
-            ]
-            yield pd.DataFrame.from_records(records)
+                cols["extracted_text"].append(out["extracted_text"])
+                cols["normalized_text"].append(out["normalized_text"])
+                cols["dictionary_corrections"].append(
+                    out["dictionary_corrections"]
+                )
+                cols["spelling_changes"].append(out["spelling_changes"])
+                cols["quality"].append(out["quality"])
+                cols["unknown_words"].append(out["unknown_words"])
+                cols["spans"].append(
+                    [
+                        {"start": s, "end": e, "kind": k}
+                        for (s, e, k) in out["spans"]
+                    ]
+                )
+            yield pd.DataFrame(cols, columns=list(_OUT_COLS))
 
     return extract
 

@@ -57,20 +57,25 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _hit_count(text_col: str, words: list[str]) -> Column:
-    """How many tokens of ``text_col`` are in ``words`` (array intersection
-    against a literal array — broadcast-free, evaluated per row in codegen)."""
-    toks = tokens(text_col)
-    lit = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(lit, t)))
-
-
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count stopword hits per language, take the
     argmax (ties and zero-evidence rows → 'und'). Adds ``lang_pred``,
-    ``en_hits``, ``id_hits``."""
-    out = df.withColumn("en_hits", _hit_count(text_col, EN_STOPWORDS)).withColumn(
-        "id_hits", _hit_count(text_col, ID_STOPWORDS)
+    ``en_hits``, ``id_hits``. Tokenization is staged into its own
+    projection so the regex runs once per row, not once per language."""
+    en_lit = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    id_lit = F.array(*[F.lit(w) for w in ID_STOPWORDS])
+    out = (
+        df.select("*", tokens(text_col).alias("_toks"))
+        .select(
+            "*",
+            F.size(
+                F.filter("_toks", lambda t: F.array_contains(en_lit, t))
+            ).alias("en_hits"),
+            F.size(
+                F.filter("_toks", lambda t: F.array_contains(id_lit, t))
+            ).alias("id_hits"),
+        )
+        .drop("_toks")
     )
     return out.withColumn(
         "lang_pred",
@@ -89,32 +94,41 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``int()`` scoring (scoring_service.py:159-164). All ratios are exact
     rational arithmetic over counts, rounded to 4 dp — reproducible in SQL.
     """
-    n_chars = F.length(text_col)
-    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
-    n_punct = F.length(
-        F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"()\[\]-]", "")
-    )
-    toks = tokens(text_col)
-    n_toks = F.size(toks)
+    # Stage the raw counts behind an eval barrier so each regex runs ONCE
+    # per row: a single Project would inline the token extraction into every
+    # ratio and the score (higher-order-function expressions are not
+    # codegen-subexpression-eliminated), multiplying the regex work ~4x.
     stop_lit = F.array(*[F.lit(w) for w in EN_STOPWORDS + ID_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
-
-    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_toks > 0, n_stop / n_toks).otherwise(F.lit(0.0))
+    tokked = df.select("*", tokens(text_col).alias("_toks"))
+    counted = tokked.select(
+        "*",
+        F.length(text_col).alias("_nc"),
+        F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")).alias("_na"),
+        F.length(
+            F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"()\[\]-]", "")
+        ).alias("_np"),
+        F.size("_toks").alias("_nt"),
+        F.size(
+            F.filter("_toks", lambda t: F.array_contains(stop_lit, t))
+        ).alias("_ns"),
+    ).drop("_toks")
+    nc, na, np_, nt, ns = (F.col(c) for c in ("_nc", "_na", "_np", "_nt", "_ns"))
+    alpha_ratio = F.when(nc > 0, na / nc).otherwise(F.lit(0.0))
+    punct_ratio = F.when(nc > 0, np_ / nc).otherwise(F.lit(0.0))
+    stop_ratio = F.when(nt > 0, ns / nt).otherwise(F.lit(0.0))
     # length signal: saturating ramp, full credit at >=200 chars
-    len_signal = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    len_signal = F.least(nc / F.lit(200.0), F.lit(1.0))
     score = F.floor(
         100 * (0.4 * stop_ratio + 0.3 * alpha_ratio + 0.3 * len_signal)
     ).cast("int")
 
-    return df.select(
+    return counted.select(
         "*",
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         score.alias("quality_score"),
-    )
+    ).drop("_nc", "_na", "_np", "_nt", "_ns")
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -38,9 +38,12 @@ def get_spark(
         # Arrow exchange for pandas UDFs; bound batch size for long turns
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # target split size for the initial scan (128 MB default is fine at
-        # scale; explicit so it is a deliberate choice, not an accident)
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # target split size for the initial scan: extraction does ~1000x
+        # more compute per byte than a plain scan, so splits must be sized
+        # for CPU balance, not IO efficiency — 16 MB keeps every core busy
+        # from the first stage (128 MB coalesced a 300 MB input to 3 tasks,
+        # serializing the scan+shuffle stage; measured 2026-08-17)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

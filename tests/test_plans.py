@@ -1,0 +1,101 @@
+"""Physical-plan assertions: the scale properties the operators claim.
+
+These tests pin the *plan shape*, not results: filters reach the parquet
+scan, column pruning holds, small-side joins broadcast, top-k compiles to
+TakeOrderedAndProject (no global sort), and per-row transforms stay
+shuffle-free. A regression here is a 100-TB performance bug even when every
+value is still correct.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("event_type") == "error"
+    ).select("event_id")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan
+
+
+def test_column_pruning(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_extraction_is_narrow(docs):
+    from ocr_spark.operators.extraction import extract_turns
+
+    plan = _plan(extract_turns(docs.select(F.lit("d").alias("conv_id"),
+                                           F.col("doc_id"), "text"),
+                               text_col="text"))
+    assert "Exchange" not in plan  # no shuffle in the per-turn map stage
+    assert "ArrowEvalPython" in plan  # the fused UDF is Arrow-vectorized
+
+
+def test_dedup_signatures_narrow(docs):
+    from ocr_spark.operators.dedup import minhash_signatures
+
+    plan = _plan(minhash_signatures(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # built-ins only, no slow-path UDF
+
+
+def test_broadcast_join_in_q3(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["q3_nation_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["ann_cosine_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_anti_join_broadcasts(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["j2_unknown_antijoin"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_exact_dedup_partial_aggregation(docs):
+    from ocr_spark.operators.dedup import exact_dedup
+
+    plan = _plan(exact_dedup(docs))
+    # partial (map-side) aggregate before the exchange: shuffle carries one
+    # row per distinct hash per partition, not one per document
+    assert plan.count("HashAggregate") >= 2
+    before_exchange = plan.split("Exchange")[-1]
+    assert "HashAggregate" in before_exchange
+
+
+def test_textstats_stay_jvm_side(docs):
+    from ocr_spark.operators.textstats import with_lang_id, with_quality
+
+    for op in (with_quality, with_lang_id):
+        plan = _plan(op(docs.select("doc_id", "text")))
+        assert "Python" not in plan  # pure JVM expressions, no UDF fallback
+        assert "Exchange" not in plan  # narrow
+        # the tokenizing regex must run once per row — staged projections
+        # keep CollapseProject from inlining it into every consumer
+        assert plan.count("regexp_extract_all") == 1, op.__name__
