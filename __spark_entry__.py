@@ -391,7 +391,9 @@ def _jaccard_near_dup(spark, sf_dir):
 
 _JACCARD_SQL = f"""
 WITH sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM ({_SHINGLES_SQL})),
-ex AS (SELECT doc_id, n, unnest(shingles) AS s FROM sized)
+ex AS (SELECT doc_id, n,
+              ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+       FROM sized)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ROUND(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 6) AS jaccard
 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
