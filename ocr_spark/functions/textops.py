@@ -198,23 +198,37 @@ def _indel_ratio(a: str, b: str) -> float:
     return (2.0 * lcs) / (la + lb) * 100.0
 
 
-_SORTED_KAMUS: Optional[list[str]] = None
-_fuzzy_cache: dict[str, Optional[str]] = {}
+#: fuzzy-lookup state: sorted candidate list + memo cache, invalidated when
+#: the effective kamus (base ∪ epoch extra) changes
+_UNSET = object()
+_fuzzy_state: dict = {"key": _UNSET, "sorted": None, "cache": {}}
 
 
-def fuzzy_best_match(word_lower: str, threshold: int = 65) -> Optional[str]:
+def _effective_kamus(extra: Optional[frozenset] = None) -> frozenset:
+    """The epoch dictionary: base kamus ∪ approved learned words (SURVEY.md
+    §7.4 epoch-snapshot semantics — frozen for a whole job)."""
+    return D.KAMUS if not extra else D.KAMUS | extra
+
+
+def fuzzy_best_match(
+    word_lower: str, threshold: int = 65, extra: Optional[frozenset] = None
+) -> Optional[str]:
     """Deterministic fuzzy lookup: best indel-ratio >= threshold over the
     kamus iterated in sorted order, first-max tie-break (the reference
     iterates a Python set, so its ties are hash-seed-dependent — we pin a
-    reproducible order; see SURVEY.md §7.4). Memoized per process."""
-    global _SORTED_KAMUS
-    if word_lower in _fuzzy_cache:
-        return _fuzzy_cache[word_lower]
-    if _SORTED_KAMUS is None:
-        _SORTED_KAMUS = sorted(D.KAMUS)
+    reproducible order; see SURVEY.md §7.4). Memoized per process; the memo
+    resets when the epoch kamus changes."""
+    key = extra if extra else None
+    if _fuzzy_state["key"] != key:
+        _fuzzy_state["key"] = key
+        _fuzzy_state["sorted"] = sorted(_effective_kamus(extra))
+        _fuzzy_state["cache"] = {}
+    cache = _fuzzy_state["cache"]
+    if word_lower in cache:
+        return cache[word_lower]
     best, best_score = None, float(threshold)
     lw = len(word_lower)
-    for cand in _SORTED_KAMUS:
+    for cand in _fuzzy_state["sorted"]:
         # score >= t requires 2*min(la,lb) >= t*(la+lb)/100
         lc = len(cand)
         if 200 * min(lw, lc) < threshold * (lw + lc):
@@ -222,14 +236,17 @@ def fuzzy_best_match(word_lower: str, threshold: int = 65) -> Optional[str]:
         score = _indel_ratio(word_lower, cand)
         if score > best_score:
             best, best_score = cand, score
-    _fuzzy_cache[word_lower] = best
+    cache[word_lower] = best
     return best
 
 
-def correct_word(word: str, fuzzy: bool = False) -> str:
+def correct_word(
+    word: str, fuzzy: bool = False, extra_kamus: Optional[frozenset] = None
+) -> str:
     """Correct one word: exact phrase-map hit first (case-style preserved:
     ALLCAPS -> upper, leading-cap -> capitalize), then — only when the fuzzy
-    stage is enabled — a kamus fuzzy match for valid unknown words."""
+    stage is enabled — a kamus fuzzy match for valid unknown words. Words in
+    the epoch kamus (base or learned) are never touched."""
     if not word:
         return word
     lower = word.lower()
@@ -240,9 +257,14 @@ def correct_word(word: str, fuzzy: bool = False) -> str:
         if word[0].isupper():
             return hit.capitalize()
         return hit
-    if not fuzzy or not is_valid_word(word) or lower in D.KAMUS:
+    if (
+        not fuzzy
+        or not is_valid_word(word)
+        or lower in D.KAMUS
+        or (extra_kamus is not None and lower in extra_kamus)
+    ):
         return word
-    match = fuzzy_best_match(lower)
+    match = fuzzy_best_match(lower, extra=extra_kamus)
     if match is None:
         return word
     if word.isupper():
@@ -257,7 +279,7 @@ def correct_word(word: str, fuzzy: bool = False) -> str:
 # ---------------------------------------------------------------------------
 
 def correct_with_stats(
-    text: str, fuzzy: bool = False
+    text: str, fuzzy: bool = False, extra_kamus: Optional[frozenset] = None
 ) -> tuple[str, int, list[Span]]:
     """Full dictionary-correction pass over one turn's text.
 
@@ -293,7 +315,7 @@ def correct_with_stats(
         m = D.NUM_THEN_WORD.match(token)
         if m:
             num, word = m.groups()
-            fixed = correct_word(word, fuzzy)
+            fixed = correct_word(word, fuzzy, extra_kamus)
             if fixed != word:
                 corrections += 1
                 spans.append((out + len(num) + 1, out + len(num) + 1 + len(fixed), "word"))
@@ -302,7 +324,7 @@ def correct_with_stats(
         m = D.WORD_THEN_NUM.match(token)
         if m:
             word, num = m.groups()
-            fixed = correct_word(word, fuzzy)
+            fixed = correct_word(word, fuzzy, extra_kamus)
             if fixed != word:
                 corrections += 1
                 spans.append((out, out + len(fixed), "word"))
@@ -311,7 +333,7 @@ def correct_with_stats(
         m = D.PUNCT_PEEL.match(token)
         if m:
             prefix, word, suffix = m.groups()
-            fixed = correct_word(word, fuzzy)
+            fixed = correct_word(word, fuzzy, extra_kamus)
             if fixed != word:
                 corrections += 1
                 spans.append((out + len(prefix), out + len(prefix) + len(fixed), "word"))
@@ -326,7 +348,7 @@ def correct_with_stats(
             if not sub:
                 continue
             if D.WORD_CORE.match(sub):
-                fixed = correct_word(sub, fuzzy)
+                fixed = correct_word(sub, fuzzy, extra_kamus)
                 if fixed != sub:
                     corrections += 1
                     token_changed = True
@@ -448,6 +470,7 @@ def quality_score(
     text: str,
     confidences: Optional[list[float]] = None,
     corrections: int = 0,
+    extra_kamus: Optional[frozenset] = None,
 ) -> dict:
     """Composite 0-100 score: 0.40*confidence + 0.30*dictionary-match +
     0.30*(100 - correction rate), int-TRUNCATED (not rounded) then clamped;
@@ -464,8 +487,9 @@ def quality_score(
     else:
         conf = 75.0
 
+    kamus = _effective_kamus(extra_kamus)
     if total > 0:
-        matched = sum(1 for w in words if w in D.KAMUS)
+        matched = sum(1 for w in words if w in kamus)
         dict_match = matched / total * 100
     else:
         matched, dict_match = 0, 100.0
@@ -500,14 +524,16 @@ def quality_score(
 # T7: unknown-word extraction.
 # ---------------------------------------------------------------------------
 
-def unknown_words(text: str) -> list[str]:
-    """Lowercased >=3-letter runs not in the kamus, deduplicated. Returned
-    sorted (the reference returns set order, which is hash-seed-dependent;
-    downstream is a groupBy so order is immaterial — we pin a stable one)."""
+def unknown_words(text: str, extra_kamus: Optional[frozenset] = None) -> list[str]:
+    """Lowercased >=3-letter runs not in the epoch kamus, deduplicated.
+    Returned sorted (the reference returns set order, which is
+    hash-seed-dependent; downstream is a groupBy so order is immaterial —
+    we pin a stable one)."""
     if not text:
         return []
+    kamus = _effective_kamus(extra_kamus)
     seen = set(D.LETTER_RUN.findall(text.lower()))
-    return sorted(w for w in seen if w not in D.KAMUS)
+    return sorted(w for w in seen if w not in kamus)
 
 
 # ---------------------------------------------------------------------------
@@ -520,6 +546,7 @@ def extract_turn(
     use_spelling: bool = True,
     confidences: Optional[list[float]] = None,
     fuzzy: bool = False,
+    extra_kamus: Optional[frozenset] = None,
 ) -> dict:
     """Run the full per-turn pipeline and return every output column.
 
@@ -534,7 +561,7 @@ def extract_turn(
     spans: list[Span] = []
 
     if use_dictionary and raw:
-        corrected, n_corr, spans = correct_with_stats(raw, fuzzy=fuzzy)
+        corrected, n_corr, spans = correct_with_stats(raw, fuzzy=fuzzy, extra_kamus=extra_kamus)
         corrected, spans = normalize_currency(corrected, spans)
 
     if use_spelling and corrected:
@@ -550,7 +577,7 @@ def extract_turn(
         "normalized_text": normalized,
         "dictionary_corrections": n_corr,
         "spelling_changes": n_spell,
-        "quality": quality_score(score_input, confidences, n_corr),
-        "unknown_words": unknown_words(score_input),
+        "quality": quality_score(score_input, confidences, n_corr, extra_kamus),
+        "unknown_words": unknown_words(score_input, extra_kamus),
         "spans": spans,
     }

@@ -85,11 +85,15 @@ def make_extract_udf(
     use_dictionary: bool = True,
     use_spelling: bool = True,
     fuzzy: bool = False,
+    extra_kamus: frozenset | None = None,
 ):
     """Build the fused extraction UDF for a given flag combination.
 
     Flags are closure-captured (constant per job), so Catalyst sees a plain
-    deterministic scalar UDF of one string column. The batch result is
+    deterministic scalar UDF of one string column. ``extra_kamus`` is the
+    epoch snapshot of approved learned words (SURVEY.md §7.4): vocab-sized,
+    so closure capture ships it once per task via the serialized UDF — the
+    same cost profile as an explicit broadcast variable. The batch result is
     assembled column-wise (dict-of-lists) — ``DataFrame.from_records`` over
     per-row dicts costs ~15% of the whole UDF at steady state.
     """
@@ -107,6 +111,7 @@ def make_extract_udf(
                     use_dictionary=use_dictionary,
                     use_spelling=use_spelling,
                     fuzzy=fuzzy,
+                    extra_kamus=extra_kamus,
                 )
                 cols["extracted_text"].append(out["extracted_text"])
                 cols["normalized_text"].append(out["normalized_text"])

@@ -45,10 +45,13 @@ def extract_turns(
     use_spelling: bool = True,
     fuzzy: bool = False,
     keep_struct: bool = False,
+    extra_kamus: frozenset | None = None,
 ) -> DataFrame:
     """Apply the fused extraction UDF and flatten the result struct into the
-    output columns (SURVEY.md §1.2). Narrow, no shuffle."""
-    udf = make_extract_udf(use_dictionary, use_spelling, fuzzy)
+    output columns (SURVEY.md §1.2). Narrow, no shuffle. ``extra_kamus`` is
+    the epoch snapshot of approved learned words (affects unknown-word
+    tracking, dictionary-match scoring, and the fuzzy candidate set)."""
+    udf = make_extract_udf(use_dictionary, use_spelling, fuzzy, extra_kamus)
     out = df.withColumn("_x", udf(F.col(text_col)))
     if keep_struct:
         return out

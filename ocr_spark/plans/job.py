@@ -45,6 +45,7 @@ class ExtractionJob:
         partitions_per_group: int | None = None,
         salt_buckets: int = 16,
         columns: list[str] | None = None,
+        learned_words_path: str | None = None,
     ):
         self.spark = spark
         self.input_path = input_path
@@ -55,9 +56,26 @@ class ExtractionJob:
         self.use_spelling = use_spelling
         self.salt_buckets = salt_buckets
         self.columns = columns or INPUT_COLUMNS
+        # epoch-snapshot kamus (SURVEY.md §7.4): approved learned words are
+        # frozen for the whole job; this epoch's accruals affect the next
+        self.extra_kamus = self._load_learned(learned_words_path)
         if partitions_per_group is None:
             partitions_per_group = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.partitions_per_group = partitions_per_group
+
+    def _load_learned(self, path: str | None) -> frozenset | None:
+        if not path:
+            return None
+        try:
+            rows = (
+                self.spark.read.parquet(path)
+                .filter("is_approved")
+                .select("word")
+                .collect()
+            )
+        except Exception:
+            return None  # first epoch: no learned table yet
+        return frozenset(r["word"] for r in rows) or None
 
     # -- lineage ------------------------------------------------------------
 
@@ -92,7 +110,10 @@ class ExtractionJob:
         df = self.spark.read.parquet(*files).select(*self.columns)
         df = salted_repartition(df, self.partitions_per_group, self.salt_buckets)
         out = extract_turns(
-            df, use_dictionary=self.use_dictionary, use_spelling=self.use_spelling
+            df,
+            use_dictionary=self.use_dictionary,
+            use_spelling=self.use_spelling,
+            extra_kamus=self.extra_kamus,
         )
         obs = Observation(f"group-{k}")
         out = out.observe(
@@ -118,6 +139,7 @@ class ExtractionJob:
             "flags": {
                 "use_dictionary": self.use_dictionary,
                 "use_spelling": self.use_spelling,
+                "learned_kamus_words": len(self.extra_kamus or ()),
             },
         }
         self.manifest_dir.mkdir(parents=True, exist_ok=True)

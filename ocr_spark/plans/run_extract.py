@@ -26,6 +26,12 @@ def main(argv=None) -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument(
+        "--learned-words",
+        default=None,
+        help="parquet learned_words table; approved words join the kamus "
+        "for this epoch (SURVEY.md §7.4 epoch-snapshot semantics)",
+    )
     args = ap.parse_args(argv)
 
     from ocr_spark.plans.job import ExtractionJob
@@ -43,6 +49,7 @@ def main(argv=None) -> int:
             use_dictionary=not args.no_dictionary,
             use_spelling=not args.no_spelling,
             salt_buckets=args.salt_buckets,
+            learned_words_path=args.learned_words,
         )
         summary = job.run(resume=not args.no_resume)
     except FileNotFoundError as e:
