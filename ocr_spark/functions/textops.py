@@ -296,17 +296,26 @@ def correct_with_stats(
 
     pieces: list[str] = []
     spans: list[Span] = []
-    pmap = PiecewiseMap()
+    # the offset map exists only to carry multiword spans across the token
+    # rebuild; with none to carry (the common case) its bookkeeping is waste
+    track = bool(mw_spans)
+    pmap = PiecewiseMap() if track else None
     corrections = 0
     old = 0
     out = 0
 
-    def emit(old_len: int, piece: str, changed: bool) -> None:
-        nonlocal old, out
-        pieces.append(piece)
-        pmap.add(old, old + old_len, out, out + len(piece), changed)
-        old += old_len
-        out += len(piece)
+    if track:
+        def emit(old_len: int, piece: str, changed: bool) -> None:
+            nonlocal old, out
+            pieces.append(piece)
+            pmap.add(old, old + old_len, out, out + len(piece), changed)
+            old += old_len
+            out += len(piece)
+    else:
+        def emit(old_len: int, piece: str, changed: bool) -> None:
+            nonlocal out
+            pieces.append(piece)
+            out += len(piece)
 
     for token in D.TOKEN_SPLIT.findall(text):
         if not token.strip():
@@ -360,7 +369,9 @@ def correct_with_stats(
                 sub_out += len(sub)
         emit(len(token), "".join(rebuilt), token_changed)
 
-    return "".join(pieces), corrections, pmap.remap(mw_spans) + spans
+    if track:
+        return "".join(pieces), corrections, pmap.remap(mw_spans) + spans
+    return "".join(pieces), corrections, spans
 
 
 # ---------------------------------------------------------------------------
@@ -407,14 +418,25 @@ def normalize_token_spelling(token: str) -> str:
     whitelist and j->y map first (both compare the full token, punctuation
     included — a trailing comma defeats them, matching the reference), then
     the 6 digraph rules in order with case-preserving replacement."""
-    if token.lower() in D.FOREIGN_WORDS:
-        return token
     lower = token.lower()
+    if lower in D.FOREIGN_WORDS:
+        return token
     if lower in D.J_TO_Y:
         repl = D.J_TO_Y[lower]
         if token[0].isupper():
             repl = repl.capitalize()
         return repl
+    # necessary-condition probe: no digraph substring -> no rule can fire
+    # (rules match case-insensitively, so probing the lowered token is exact)
+    if (
+        "oe" not in lower
+        and "dj" not in lower
+        and "tj" not in lower
+        and "nj" not in lower
+        and "sj" not in lower
+        and "ch" not in lower
+    ):
+        return token
     out = token
     for pattern, repl in D.SPELLING_PATTERNS:
         out = pattern.sub(lambda m, _r=repl: _preserve_case_single(m.group(0), _r), out)
@@ -431,8 +453,9 @@ def normalize_spelling(
     if not text:
         return text, 0, spans or []
     spans = spans if spans is not None else []
+    track = bool(spans)
     pieces: list[str] = []
-    pmap = PiecewiseMap()
+    pmap = PiecewiseMap() if track else None
     new_spans: list[Span] = []
     old = 0
     out = 0
@@ -441,11 +464,13 @@ def normalize_spelling(
             fixed = normalize_token_spelling(token)
             if fixed != token:
                 new_spans.append((out, out + len(fixed), "spelling"))
-            pmap.add(old, old + len(token), out, out + len(fixed), fixed != token)
+            if track:
+                pmap.add(old, old + len(token), out, out + len(fixed), fixed != token)
             pieces.append(fixed)
             out += len(fixed)
         else:
-            pmap.add(old, old + len(token), out, out + len(token), False)
+            if track:
+                pmap.add(old, old + len(token), out, out + len(token), False)
             pieces.append(token)
             out += len(token)
         old += len(token)
@@ -453,7 +478,9 @@ def normalize_spelling(
     changes = sum(
         1 for o, n in zip(text.split(), normalized.split()) if o != n
     )
-    return normalized, changes, pmap.remap(spans) + new_spans
+    if track:
+        return normalized, changes, pmap.remap(spans) + new_spans
+    return normalized, changes, new_spans
 
 
 # ---------------------------------------------------------------------------
