@@ -456,6 +456,57 @@ def _simhash_near_dup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Main-content extraction (north_star surface): block classification, layout.
+# ---------------------------------------------------------------------------
+
+
+def _boilerplate_strip(spark, sf_dir):
+    """Boilerpipe-style block classification over the documents table —
+    per-block word/link/stopword features + NumWordsRules labels. Not
+    SQL-expressible (prev/next-block classification with offset-tracked
+    HTML parsing); gated by tests/test_boilerplate.py goldens."""
+    from ocr_spark.operators.boilerplate import strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_boilerplate(docs).select(
+        "doc_id",
+        "content_text",
+        "n_blocks",
+        "n_content_blocks",
+        "n_boilerplate_blocks",
+        "content_words",
+    )
+
+
+def _pdf_layout(spark, sf_dir):
+    """Line/column clustering over deterministic synthetic layout tokens:
+    each document's words are laid out on a two-column grid (seeded by
+    doc_id — no external data), then reconstructed in reading order.
+    Rows-only; geometric properties are pytest-gated."""
+    from ocr_spark.operators.boilerplate import parse_layout
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    # word i -> column (i mod 2), row (i div 2): x = col*40 + 7*(i div 8 mod 3)
+    toks = F.transform(
+        words,
+        lambda w, i: F.struct(
+            ((i % 2) * 40.0 + (i / 8 % 3).cast("int") * 7.0).alias("x"),
+            ((i / 2).cast("int") * 10.0).cast("double").alias("y"),
+            F.lit(6.0).alias("w"),
+            F.lit(8.0).alias("h"),
+            w.alias("text"),
+        ),
+    )
+    with_toks = docs.select("doc_id", toks.alias("layout_tokens")).filter(n >= 4)
+    return parse_layout(with_toks, y_tol=1.0, gap_min=5.0).select(
+        "doc_id", "n_lines", "n_columns", "n_tokens",
+        F.length("layout_text").alias("layout_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Similarity search over embeddings.
 # ---------------------------------------------------------------------------
 
@@ -695,6 +746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction core (T1–T7 + A6; golden-tested vs the reference)
         "flagship_extract": _flagship,
+        # main-content extraction surface (block classification, layout)
+        "boilerplate_strip": _boilerplate_strip,
+        "pdf_layout": _pdf_layout,
         # aggregates A1/A2/A5/A7/A8/A9
         "a1_event_stats": _a1_event_stats,
         "a2_events_by_date": _a2_events_by_date,
