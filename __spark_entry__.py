@@ -506,6 +506,27 @@ def _pdf_layout(spark, sf_dir):
     )
 
 
+def _full_pipeline(spark, sf_dir):
+    """The composed production path: block-classify each document's text
+    (boilerplate strip) THEN run the OCR-correction/scoring core on the
+    extracted main content — one narrow chain of two Arrow UDFs, no
+    shuffle. Rows-only (composition of two non-SQL-expressible stages)."""
+    from ocr_spark.operators.boilerplate import strip_boilerplate
+    from ocr_spark.operators.extraction import extract_turns
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    content = strip_boilerplate(docs).select("doc_id", "content_text", "n_blocks")
+    out = extract_turns(content, text_col="content_text")
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "normalized_text",
+        "dictionary_corrections",
+        "spelling_changes",
+        F.col("quality.overall").alias("quality_overall"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings.
 # ---------------------------------------------------------------------------
@@ -749,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # main-content extraction surface (block classification, layout)
         "boilerplate_strip": _boilerplate_strip,
         "pdf_layout": _pdf_layout,
+        "full_pipeline": _full_pipeline,
         # aggregates A1/A2/A5/A7/A8/A9
         "a1_event_stats": _a1_event_stats,
         "a2_events_by_date": _a2_events_by_date,

@@ -22,6 +22,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
     "flagship_extract",
+    "full_pipeline",
+    "boilerplate_strip",
+    "pdf_layout",
     "a7_word_frequency",
     "t8_event_sessions",
     "exact_dedup",
