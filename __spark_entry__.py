@@ -554,6 +554,16 @@ ORDER BY score DESC, id ASC LIMIT 10
 """
 
 
+def _ann_cosine_topk_np(spark, sf_dir):
+    """BLAS variant of the exact top-k (one matmul per Arrow batch,
+    per-partition k-selection) — same oracle as the expression version."""
+    from ocr_spark.operators.similarity import cosine_topk_np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk_np(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
 def _ann_lsh_topk(spark, sf_dir):
     """Bucketed (approximate) variant — rows-only check; recall vs the exact
     top-k is asserted in tests/test_similarity.py."""
@@ -793,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _simhash_near_dup,
         # similarity search
         "ann_cosine_topk": _ann_cosine_topk,
+        "ann_cosine_topk_np": _ann_cosine_topk_np,
         "ann_lsh_topk": _ann_lsh_topk,
         "embedding_near_dup": _embedding_near_dup,
         # text analysis
@@ -829,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_near_dup": _JACCARD_SQL,
         "simhash": _SIMHASH_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "ann_cosine_topk_np": _ANN_SQL,
         "lang_id_counts": _langid_sql(),
         "doc_quality": _quality_sql(),
         "token_counts": _TOKEN_COUNTS_SQL,

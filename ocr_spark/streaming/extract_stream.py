@@ -108,6 +108,29 @@ def windowed_turn_metrics(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    key: str = "content",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: drop rows whose key was
+    already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state evicts past the watermark,
+    so memory is O(keys per horizon), not O(stream length)).
+
+    ``key='content'`` dedups on the md5 of the text (the streaming analog
+    of the batch exact_dedup operator); ``key='turn'`` on (conv_id,
+    turn_idx) — idempotent re-ingestion of replayed source files."""
+    s = stream.withWatermark("ts", watermark)
+    if key == "content":
+        return (
+            s.withColumn(
+                "text_hash", F.md5(F.coalesce(F.col("text"), F.lit("")))
+            ).dropDuplicatesWithinWatermark(["text_hash"])
+        )
+    return s.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+
+
 def learning_foreach_batch(learned_table_path: str):
     """``foreachBatch`` hook: accrue unknown-word frequencies per
     micro-batch by reusing the batch epoch merge — A7 semantics identical

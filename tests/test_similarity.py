@@ -93,6 +93,18 @@ def test_embedding_near_dup_finds_planted_pair(vectors):
     assert pairs[(0, 200)] > 0.99
 
 
+def test_numpy_topk_matches_hof_topk(vectors):
+    from ocr_spark.operators.similarity import cosine_topk_np
+
+    df, byid = vectors
+    q = byid[0]
+    hof = [(r["id"], r["score"]) for r in cosine_topk(df, q, k=7).collect()]
+    np_ = [(r["id"], r["score"]) for r in cosine_topk_np(df, q, k=7).collect()]
+    assert [i for i, _ in hof] == [i for i, _ in np_]
+    for (_, a), (_, b) in zip(hof, np_):
+        assert abs(a - b) <= 1e-6
+
+
 def test_hyperplanes_deterministic():
     a = hyperplanes(8, 4, seed=7)
     b = hyperplanes(8, 4, seed=7)

@@ -93,6 +93,28 @@ def test_windowed_metrics(spark, stream_input, tmp_path):
         assert r["window_end"] > r["window_start"]
 
 
+def test_stream_dedup_within_watermark(spark, stream_input, tmp_path):
+    from ocr_spark.streaming.extract_stream import dedup_stream
+
+    stream = read_transcript_stream(spark, stream_input)
+    q = (
+        dedup_stream(stream, watermark="10 minutes", key="content")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT text_hash FROM dedup_out").collect()
+    hashes = [r["text_hash"] for r in rows]
+    assert hashes, "dedup stream emitted nothing"
+    assert len(hashes) == len(set(hashes))  # no duplicate content survives
+    n_in = spark.read.parquet(stream_input).count()
+    assert len(hashes) < n_in  # the synth corpus reuses texts -> real dedup
+
+
 def test_foreach_batch_learning(spark, stream_input, tmp_path):
     learned = str(tmp_path / "learned")
     stream = extract_stream(read_transcript_stream(spark, stream_input))
