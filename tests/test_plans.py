@@ -89,6 +89,66 @@ def test_exact_dedup_partial_aggregation(docs):
     assert "HashAggregate" in before_exchange
 
 
+def test_salting_spreads_skewed_conversation(spark):
+    from pyspark.sql.functions import spark_partition_id
+
+    from ocr_spark.operators.extraction import salted_repartition
+
+    rows = [("huge", i, "t" * 5) for i in range(4000)] + [
+        (f"c{i}", 0, "x") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    parts = (
+        salted_repartition(df, 16, salt_buckets=8)
+        .filter(F.col("conv_id") == "huge")
+        .select(spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    # an 8-bucket salt must spread the hot conversation across >1 task
+    assert parts >= 4
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    # bucketing both sides on the join key pre-co-locates them: the join
+    # plan has SortMergeJoin but NO Exchange — at 100 TB this is the
+    # difference between a full shuffle of the fact table and none
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("b_orders"))
+    (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("b_lineitem"))
+    joined = (
+        spark.table("b_lineitem")
+        # at sf0.001 Spark would broadcast; hint the merge strategy to get
+        # the plan shape a 100 TB fact-fact join takes
+        .hint("merge")
+        .join(
+            spark.table("b_orders").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    # the only exchange is the tiny post-join aggregation on o_orderstatus;
+    # neither join input is shuffled (bucketed scans satisfy the join's
+    # required distribution)
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Bucketed: true" in plan
+    assert joined.count() > 0
+
+
 def test_textstats_stay_jvm_side(docs):
     from ocr_spark.operators.textstats import with_lang_id, with_quality
 
