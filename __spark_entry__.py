@@ -229,18 +229,42 @@ FROM ({_DOC_WORDS_SQL}) GROUP BY word
 
 
 def _a8_top_pending(spark, sf_dir):
+    """A8 over doc-distinct BIGRAMS: the documents vocabulary is tiny (~30
+    words, all above the approval threshold), so pending single words don't
+    exist at any SF — bigrams give a realistic long-tail 'pending' set
+    while keeping A8's exact shape (filter pending, top-k by frequency
+    desc with deterministic tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
     return (
-        _a7_word_frequency(spark, sf_dir)
-        .filter(~F.col("is_approved"))
-        .orderBy(F.desc("frequency"), F.asc("word"))
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("frequency"))
+        .filter(F.col("frequency") < 5)
+        .orderBy(F.desc("frequency"), F.asc("bigram"))
         .limit(20)
-        .select("word", "frequency")
     )
 
 
 _A8_SQL = f"""
-SELECT word, frequency FROM ({_A7_SQL})
-WHERE NOT is_approved ORDER BY frequency DESC, word ASC LIMIT 20
+WITH b AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+1], ' ')))) AS bigram
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS t
+        FROM documents)
+  WHERE len(t) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS frequency
+FROM b GROUP BY bigram HAVING count(*) < 5
+ORDER BY frequency DESC, bigram ASC LIMIT 20
 """
 
 
@@ -313,7 +337,7 @@ FROM events GROUP BY user_id
 def _j2_unknown_antijoin(spark, sf_dir):
     words = _doc_words(spark, sf_dir)
     freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("frequency"))
-    kamus = freq.orderBy(F.desc("frequency"), F.asc("word")).limit(50).select("word")
+    kamus = freq.orderBy(F.desc("frequency"), F.asc("word")).limit(10).select("word")
     return (
         freq.join(F.broadcast(kamus), "word", "left_anti")
         .select("word", "frequency")
@@ -325,7 +349,7 @@ WITH freq AS (
   SELECT word, CAST(count(*) AS BIGINT) AS frequency
   FROM ({_DOC_WORDS_SQL}) GROUP BY word
 ),
-kamus AS (SELECT word FROM freq ORDER BY frequency DESC, word ASC LIMIT 50)
+kamus AS (SELECT word FROM freq ORDER BY frequency DESC, word ASC LIMIT 10)
 SELECT word, frequency FROM freq WHERE word NOT IN (SELECT word FROM kamus)
 """
 
@@ -578,7 +602,7 @@ def _embedding_near_dup(spark, sf_dir):
     from ocr_spark.operators.similarity import embedding_near_duplicates
 
     return embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.6, n_planes=4
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=3
     )
 
 
