@@ -166,6 +166,16 @@ PUNCT_PEEL = re.compile(r"^([^\w]*)([\w\-\']+)([^\w]*)$")
 #: digits glued to a >=3-letter word, both orders.
 NUM_THEN_WORD = re.compile(r"^(\d+)([a-zA-Z]{3,})$")
 WORD_THEN_NUM = re.compile(r"^([a-zA-Z]{3,})(\d+)$")
+
+#: fast-path probes for the correction pass (necessary conditions only):
+#: a text with no digit-glued run and no phrase-map key occurrence cannot be
+#: changed by the (non-fuzzy) word-correction loop, which is then skipped
+DIGIT_GLUE_PROBE = re.compile(r"\d[a-zA-Z]{3}|[a-zA-Z]{3}\d")
+PHRASE_KEY_PROBE = re.compile(
+    r"(?<![\w\-'])(?:"
+    + "|".join(sorted(map(re.escape, PHRASE_MAP), key=len, reverse=True))
+    + r")(?![\w\-'])"
+)
 #: mid-token symbol splitter (keeps delimiters).
 SYMBOL_SPLIT = re.compile(r"([^\w\-\']+)")
 WORD_CORE = re.compile(r"^[\w\-\']+$")

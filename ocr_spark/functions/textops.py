@@ -109,7 +109,7 @@ def _sub_tracked(
         if rep != original:
             changed = True
             pmap.add(s, e, out, out + len(rep), True)
-            if kind is not None:
+            if kind is not None and rep:  # deletions have no output extent
                 new_spans.append((out, out + len(rep), kind))
         else:
             pmap.add(s, e, out, out + len(rep), False)
@@ -293,6 +293,19 @@ def correct_with_stats(
         return text, 0, []
 
     text, mw_spans = apply_multiword(text)
+
+    # fast identity path: when no phrase-map key occurs (scanned on the
+    # lowered text, keys are lowercase) and no digit-glued token candidate
+    # exists, the token loop below provably reproduces the input verbatim
+    # with zero corrections (the tokenizer is lossless and every mutation
+    # site requires one of those two probes to fire). Fuzzy mode can touch
+    # any unknown word, so it never takes the shortcut.
+    if (
+        not fuzzy
+        and D.DIGIT_GLUE_PROBE.search(text) is None
+        and D.PHRASE_KEY_PROBE.search(text.lower()) is None
+    ):
+        return text, 0, mw_spans
 
     pieces: list[str] = []
     spans: list[Span] = []
