@@ -843,10 +843,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles for every SQL-expressible query. Omitted (rows-only):
-    flagship_extract (per-turn extraction — golden-file gated instead),
-    minhash_near_dup / simhash_near_dup / ann_lsh_topk / embedding_near_dup
-    (approximate-by-construction LSH variants — their exact counterparts
-    ARE oracle-checked above; recall properties are pytest-gated)."""
+    flagship_extract / full_pipeline (per-turn extraction — golden-file +
+    differential-fuzz gated instead), boilerplate_strip / pdf_layout
+    (prev/next-block classification and geometric clustering — pytest
+    geometry/classification goldens), minhash_near_dup / simhash_near_dup /
+    ann_lsh_topk / embedding_near_dup (approximate-by-construction LSH
+    variants — their exact counterparts ARE oracle-checked above; recall
+    properties are pytest-gated)."""
     return {
         "a1_event_stats": _A1_SQL,
         "a2_events_by_date": _A2_SQL,

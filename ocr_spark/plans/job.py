@@ -46,6 +46,7 @@ class ExtractionJob:
         salt_buckets: int = 16,
         columns: list[str] | None = None,
         learned_words_path: str | None = None,
+        sink: str = "parquet",
     ):
         self.spark = spark
         self.input_path = input_path
@@ -56,6 +57,8 @@ class ExtractionJob:
         self.use_spelling = use_spelling
         self.salt_buckets = salt_buckets
         self.columns = columns or INPUT_COLUMNS
+        self.sink = sink  # 'parquet' (production) | 'noop' (bench: measure
+        # the extraction stage without sink encode)
         # epoch-snapshot kamus (SURVEY.md §7.4): approved learned words are
         # frozen for the whole job; this epoch's accruals affect the next
         self.extra_kamus = self._load_learned(learned_words_path)
@@ -108,7 +111,10 @@ class ExtractionJob:
     def run_group(self, k: int, files: list[str]) -> dict:
         t0 = time.monotonic()
         df = self.spark.read.parquet(*files).select(*self.columns)
-        df = salted_repartition(df, self.partitions_per_group, self.salt_buckets)
+        if self.salt_buckets > 0:
+            df = salted_repartition(
+                df, self.partitions_per_group, self.salt_buckets
+            )
         out = extract_turns(
             df,
             use_dictionary=self.use_dictionary,
@@ -124,7 +130,10 @@ class ExtractionJob:
             F.sum(F.octet_length("normalized_text")).alias("bytes_extracted"),
             F.sum(F.size("spans")).alias("spans"),
         )
-        (out.write.mode("overwrite").parquet(str(self.output / f"group={k}")))
+        if self.sink == "noop":
+            out.write.format("noop").mode("overwrite").save()
+        else:
+            out.write.mode("overwrite").parquet(str(self.output / f"group={k}"))
         m = obs.get
         manifest = {
             "group": k,

@@ -26,6 +26,13 @@ def main(argv=None) -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument("--sink", default="parquet", choices=["parquet", "noop"])
+    ap.add_argument(
+        "--repeat", type=int, default=1,
+        help="bench mode: run the whole job N times in this one JVM and "
+        "print one summary line per repetition (later reps are JIT-warm "
+        "steady state; discard rep 0 when estimating throughput)",
+    )
     ap.add_argument(
         "--learned-words",
         default=None,
@@ -41,23 +48,32 @@ def main(argv=None) -> int:
         "ocr-spark-extract", master=args.master, shuffle_partitions=args.shuffle_partitions
     )
     try:
-        job = ExtractionJob(
-            spark,
-            args.input,
-            args.output,
-            groups=args.groups,
-            use_dictionary=not args.no_dictionary,
-            use_spelling=not args.no_spelling,
-            salt_buckets=args.salt_buckets,
-            learned_words_path=args.learned_words,
-        )
-        summary = job.run(resume=not args.no_resume)
+        summaries = []
+        for rep in range(max(1, args.repeat)):
+            job = ExtractionJob(
+                spark,
+                args.input,
+                args.output,
+                groups=args.groups,
+                use_dictionary=not args.no_dictionary,
+                use_spelling=not args.no_spelling,
+                salt_buckets=args.salt_buckets,
+                learned_words_path=args.learned_words,
+                sink=args.sink,
+            )
+            resume = (not args.no_resume) and args.repeat == 1
+            if args.repeat > 1:
+                import shutil
+
+                shutil.rmtree(args.output, ignore_errors=True)
+            summaries.append(job.run(resume=resume))
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     finally:
         spark.stop()
-    print(json.dumps(summary))
+    for s_ in summaries:
+        print(json.dumps(s_))
     return 0
 
 

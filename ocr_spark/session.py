@@ -37,7 +37,8 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow exchange for pandas UDFs; bound batch size for long turns
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_ARROW_BATCH", "2048"))
         # target split size for the initial scan: extraction does ~1000x
         # more compute per byte than a plain scan, so splits must be sized
         # for CPU balance, not IO efficiency — 16 MB keeps every core busy

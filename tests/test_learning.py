@@ -98,3 +98,31 @@ def test_union_topk_stats(spark):
     assert top == ["pend1", "pend2"]  # freq desc, last_seen desc tiebreak
     stats = learning_stats(learned).first()
     assert (stats["total_words"], stats["approved"], stats["pending"]) == (4, 1, 3)
+
+
+def test_s5_json_export_import_roundtrip(spark, tmp_path):
+    """S5/S6 (routers/learning.py:184-369): learned words export as JSON and
+    re-import losslessly; the re-imported table merges as a no-op."""
+    from ocr_spark.operators.learning import merge_import
+
+    schema = (
+        "word string, frequency long, is_approved boolean, "
+        "first_seen timestamp, last_seen timestamp, approved_at timestamp"
+    )
+    learned = spark.createDataFrame(
+        [
+            ("alpha", 9, True, T0, T0, T0),
+            ("beta", 4, False, T0, T0, None),
+        ],
+        schema,
+    )
+    out = str(tmp_path / "export")
+    learned.coalesce(1).write.json(out)
+    imported = spark.read.schema(schema).json(out)
+    assert {tuple(r) for r in imported.collect()} == {
+        tuple(r) for r in learned.collect()
+    }
+    merged = merge_import(learned, imported)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in learned.collect()
+    }  # self-merge is the identity (max/or/least/greatest are idempotent)
