@@ -155,6 +155,21 @@ YEAR_TOKENS: list[re.Pattern] = [
     re.compile(r"\b20[0-9lOo]{2}\b"),
 ]
 
+#: exact necessary-condition probe for the whole currency stage: the
+#: alternation of every currency/year pattern (per-branch inline flags
+#: preserve each pattern's case sensitivity). combined.search() is None
+#: ⟺ no individual pattern matches anywhere — one C scan replaces ~20.
+CURRENCY_PROBE = re.compile(
+    "|".join(
+        (f"(?i:{p.pattern})" if p.flags & re.IGNORECASE else f"(?:{p.pattern})")
+        for p in (
+            [pat for pat, _ in CURRENCY_RULES]
+            + list(AMOUNT_AFTER_RP)
+            + list(YEAR_TOKENS)
+        )
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Tokenizer / validator patterns shared by the text operators.
 # ---------------------------------------------------------------------------

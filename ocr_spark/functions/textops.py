@@ -401,6 +401,11 @@ def normalize_currency(
     if not text:
         return text, spans or []
     spans = spans if spans is not None else []
+    # one combined C-scan probe: skip the whole rule chain when no
+    # currency/year pattern occurs anywhere (exact, not approximate —
+    # validated against per-pattern search over corpus + goldens)
+    if D.CURRENCY_PROBE.search(text) is None:
+        return text, spans
     for pattern, template in D.CURRENCY_RULES:
         text, spans, _ = _sub_tracked(pattern, template, text, spans, kind="currency")
     for pattern in D.AMOUNT_AFTER_RP:
