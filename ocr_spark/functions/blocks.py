@@ -116,13 +116,20 @@ def parse_blocks(text: str) -> list[Block]:
         if m.group(2) is None:       # comment
             continue
         closing, tag = m.group(1) == "/", m.group(2).lower()
+        self_closed = m.group(3) == "/"
         if tag in _IGNORE_CONTAINERS:
-            ignore_depth = max(0, ignore_depth - 1) if closing else ignore_depth + 1
+            if not self_closed:  # <script/> has no content to ignore
+                ignore_depth = (
+                    max(0, ignore_depth - 1) if closing else ignore_depth + 1
+                )
             continue
         if ignore_depth:
             continue
         if tag == "a":
-            anchor_depth = max(0, anchor_depth - 1) if closing else anchor_depth + 1
+            if not self_closed:  # <a/> opens no link scope
+                anchor_depth = (
+                    max(0, anchor_depth - 1) if closing else anchor_depth + 1
+                )
             continue
         if tag in _BLOCK_TAGS:
             close(m.start(), m.end(), tag="" if closing else tag)

@@ -64,6 +64,23 @@ def test_plaintext_paragraph_path():
         assert PLAIN[s:e].strip() in PLAIN
 
 
+def test_self_closing_tags_do_not_leak_state():
+    # <a/> must not mark everything after it as linked; <script/> must not
+    # swallow the rest of the document
+    html = (
+        "<p><a/>This long paragraph has plainly more than sixteen words of "
+        "real content and none of them are inside an anchor element at "
+        "all.</p><script src='x'/>"
+        "<p>A second paragraph with enough words to be classified content "
+        "too, after the self-closing script tag, still fully visible.</p>"
+    )
+    blocks = parse_blocks(html)
+    assert len(blocks) == 2
+    assert all(b.n_linked_words == 0 for b in blocks)
+    out = extract_main_content(html)
+    assert "second paragraph" in out["content_text"]
+
+
 def test_empty_and_degenerate():
     assert extract_main_content(None)["n_blocks"] == 0
     assert extract_main_content("")["content_text"] == ""
