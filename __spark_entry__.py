@@ -551,6 +551,51 @@ def _full_pipeline(spark, sf_dir):
     )
 
 
+def _decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any 3-gram shingle with the
+    'benchmark' (doc_id < 20) are dropped; returns the keep set with its
+    overlap count (0 by construction of the filter)."""
+    from ocr_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") < 20)
+    training = docs.filter(F.col("doc_id") >= 20)
+    return decontaminate(training, benchmark, max_overlap=0)
+
+
+_DECONTAMINATE_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 20),
+train AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 20),
+ov AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM train t JOIN bench b ON t.s = b.s GROUP BY t.doc_id
+)
+SELECT d.doc_id AS id, COALESCE(o.n_overlap, 0) AS n_overlap
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+LEFT JOIN ov o ON d.doc_id = o.doc_id
+WHERE COALESCE(o.n_overlap, 0) <= 0
+"""
+
+
+def _stratified_sample(spark, sf_dir):
+    """Deterministic domain-mixing sample: per-source percent quotas keyed
+    on md5(doc_id) — same row set on every run and engine."""
+    from ocr_spark.operators.dedup import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    quotas = {"src0": 80, "src1": 50, "src2": 20, "src3": 10}
+    return stratified_sample(docs, quotas).select("doc_id", "source")
+
+
+_STRATIFIED_SQL = """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+      CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
+                  WHEN 'src2' THEN 20 WHEN 'src3' THEN 10 ELSE 0 END
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings.
 # ---------------------------------------------------------------------------
@@ -825,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_near_dup": _jaccard_near_dup,
         "simhash": _simhash,
         "simhash_near_dup": _simhash_near_dup,
+        "decontaminate": _decontaminate,
+        "stratified_sample": _stratified_sample,
         # similarity search
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_cosine_topk_np": _ann_cosine_topk_np,
@@ -866,6 +913,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _MINHASH_SQL,
         "jaccard_near_dup": _JACCARD_SQL,
         "simhash": _SIMHASH_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_topk_np": _ANN_SQL,
         "lang_id_counts": _langid_sql(),

@@ -260,6 +260,64 @@ def jaccard_near_duplicates(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_overlap: int = 0,
+) -> DataFrame:
+    """Benchmark decontamination: flag/drop training documents sharing
+    k-gram shingles with a benchmark corpus (the standard guard against
+    eval-set leakage). Returns (id, n_overlap) for documents with overlap
+    ≤ ``max_overlap`` — i.e. the KEEP set; invert the filter for an audit.
+
+    Shape: benchmark shingles form a small distinct set → broadcast
+    left-semi count via explode + broadcast join + groupBy. At 100 TB the
+    benchmark side is tiny (evals are small) so the join is map-side; the
+    training side stays one narrow explode.
+    """
+    bench_sh = (
+        benchmark.select(F.explode(shingles(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+    doc_sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+    overlaps = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "inner")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(overlaps, "id", "left")
+        .select("id", F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
+        .filter(F.col("n_overlap") <= max_overlap)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    quotas: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling for domain mixing: keep a row iff
+    ``md5(id) mod 100 < quota[stratum]`` (quota in percent). Unlike
+    ``DataFrame.sample`` this is seed-and-partitioning-independent — the
+    same row set on every run, any cluster, and re-expressible in SQL for
+    the oracle. One narrow filter; no shuffle, no sampling state."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    quota_map = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )
+    return df.filter(bucket < F.coalesce(quota_map[F.col(strata_col)], F.lit(0)))
+
+
 # ---------------------------------------------------------------------------
 # SimHash.
 # ---------------------------------------------------------------------------

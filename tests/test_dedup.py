@@ -167,3 +167,37 @@ def test_empty_and_null_texts(spark):
     assert sigs[0] == sigs[1]  # empty docs identical
     out = exact_dedup(df).collect()
     assert {r["n_copies"] for r in out} == {2, 1}
+
+
+def test_decontaminate_drops_benchmark_overlaps(spark):
+    from ocr_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, FAR)], ["doc_id", "text"]
+    )
+    kept = {r["id"] for r in decontaminate(train, bench).collect()}
+    assert 0 not in kept  # identical to benchmark -> contaminated
+    assert 1 not in kept  # shares most shingles -> contaminated
+    assert 2 in kept
+    audit = {
+        r["id"]: r["n_overlap"]
+        for r in decontaminate(train, bench, max_overlap=10**9).collect()
+    }
+    assert audit[0] > audit[1] > audit[2] == 0
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from ocr_spark.operators.dedup import stratified_sample
+
+    rows = [(i, f"t{i}", f"src{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    quotas = {"src0": 30, "src1": 70}
+    a = {r["doc_id"] for r in stratified_sample(df, quotas).collect()}
+    b = {r["doc_id"] for r in stratified_sample(df, quotas).collect()}
+    assert a == b  # run-to-run identical (no RNG, no partition dependence)
+    by_src = {"src0": 0, "src1": 0}
+    for i in a:
+        by_src[f"src{i % 2}"] += 1
+    assert abs(by_src["src0"] / 1000 - 0.30) < 0.05
+    assert abs(by_src["src1"] / 1000 - 0.70) < 0.05
