@@ -31,6 +31,7 @@ HEADLINE = [
     "minhash_near_dup",
     "jaccard_near_dup",
     "simhash",
+    "decontaminate",
     "ann_cosine_topk",
     "embedding_near_dup",
     "lang_id_counts",
