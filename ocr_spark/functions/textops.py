@@ -226,7 +226,7 @@ def fuzzy_best_match(
     cache = _fuzzy_state["cache"]
     if word_lower in cache:
         return cache[word_lower]
-    best, best_score = None, float(threshold)
+    best, best_score = None, -1.0
     lw = len(word_lower)
     for cand in _fuzzy_state["sorted"]:
         # score >= t requires 2*min(la,lb) >= t*(la+lb)/100
@@ -234,7 +234,10 @@ def fuzzy_best_match(
         if 200 * min(lw, lc) < threshold * (lw + lc):
             continue
         score = _indel_ratio(word_lower, cand)
-        if score > best_score:
+        # INCLUSIVE cutoff (reference: extractOne(score_cutoff=65) keeps
+        # scores >= 65); strict > against the running best keeps the
+        # first-max (sorted-order) tie-break deterministic
+        if score >= threshold and score > best_score:
             best, best_score = cand, score
     cache[word_lower] = best
     return best

@@ -136,6 +136,7 @@ def make_extract_udf_with_confidence(
     use_dictionary: bool = True,
     use_spelling: bool = True,
     fuzzy: bool = False,
+    extra_kamus: frozenset | None = None,
 ):
     """Variant taking (text, confidences array<double>) — for sources that
     carry per-line OCR confidences (reference ocr_service.py:554)."""
@@ -158,6 +159,7 @@ def make_extract_udf_with_confidence(
                             use_spelling=use_spelling,
                             confidences=conf_list,
                             fuzzy=fuzzy,
+                            extra_kamus=extra_kamus,
                         )
                     )
                 )

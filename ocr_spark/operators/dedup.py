@@ -186,6 +186,9 @@ def minhash_near_duplicates(
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     signature-similarity verification (fraction of equal positions ≥
     threshold). Returns (id_a, id_b, sig_sim)."""
+    # cached because three subtrees consume it (banding + both join sides);
+    # ContextCleaner drops the cached data when the returned plan is GC'd —
+    # long-lived drivers sweeping many corpora should unpersist explicitly
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, k).cache()
     cands = lsh_candidate_pairs(sigs, n_bands)
     a = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def request_stats(df: DataFrame, success_col: str = "success", time_col: str = "processing_time_ms", pages_col: str = "pages") -> DataFrame:
@@ -69,20 +68,19 @@ def counts_by_type(df: DataFrame, type_col: str) -> DataFrame:
 
 
 def paginate(df: DataFrame, order_col: str, limit: int, offset: int = 0, ascending: bool = False) -> DataFrame:
-    """A9 (db_service.py:226-236): ORDER BY .. LIMIT .. OFFSET, offset via a
-    row_number window so it stays a single total-order sort.
+    """A9 (db_service.py:226-236): ORDER BY .. LIMIT .. OFFSET.
 
-    Scale note: a global ORDER BY + small LIMIT is a TakeOrderedAndProject —
-    no full sort materializes. Deep offsets would; the reference UI only
-    pages shallowly, which is what this models.
+    Scale note: orderBy + offset + limit keeps the whole thing a
+    TakeOrderedAndProject of offset+limit rows per partition — no global
+    sort, no single-partition window (a Window.orderBy with no PARTITION BY
+    would move every row to one task). Deep offsets still pay offset+limit
+    per partition; the reference UI only pages shallowly.
     """
     col = F.asc(order_col) if ascending else F.desc(order_col)
-    w = Window.orderBy(col)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
-        .drop("_rn")
-    )
+    out = df.orderBy(col)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(limit)
 
 
 def preview_truncate(df: DataFrame, text_col: str = "text", n: int = 500) -> DataFrame:

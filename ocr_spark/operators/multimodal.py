@@ -149,8 +149,10 @@ def resize_images(
                 )
             ids, payloads, ws, hs = [], [], [], []
             for _, row in pdf.iterrows():
-                w = row["width"] if row["width"] is not None else 0
-                h = row["height"] if row["height"] is not None else 0
+                # Spark NULLs surface as NaN in pandas numeric columns —
+                # `is not None` never fires; pd.isna is the correct guard
+                w = 0 if pd.isna(row["width"]) else int(row["width"])
+                h = 0 if pd.isna(row["height"]) else int(row["height"])
                 p = bytes(row["payload"]) if row["payload"] is not None else b""
                 scale = min(1.0, max_dim / max(w, h)) if max(w, h) else 1.0
                 ids.append(row["media_id"])
@@ -189,7 +191,7 @@ def sample_frames(
                 )
             rows = []
             for _, row in pdf.iterrows():
-                dur = row["duration_ms"] or 0
+                dur = 0 if pd.isna(row["duration_ms"]) else int(row["duration_ms"])
                 p = bytes(row["payload"]) if row["payload"] is not None else b""
                 n = min(max_frames, max(1, int(dur // every_ms)))
                 for i in range(n):

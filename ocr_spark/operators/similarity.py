@@ -68,9 +68,13 @@ def cosine_topk(
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     v = _as_double(vec_col)
-    score = F.round(cosine(v, q), 6)
+    n = norm(v)
+    # zero-norm embeddings (padding rows) score 0, not NaN — Spark orders
+    # NaN above every double, so an unguarded 0/0 would rank junk first
+    score = F.round(F.when(n == 0, F.lit(0.0)).otherwise(cosine(v, q)), 6)
     return (
-        df.select(F.col(id_col).alias("id"), score.alias("score"))
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), score.alias("score"))
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )
@@ -109,27 +113,33 @@ def cosine_topk_np(
         [StructField("id", LongType()), StructField("score", DoubleType())]
     )
 
+    def topk_idx(scores, ids):
+        # deterministic (score desc, id asc) selection — argpartition alone
+        # keeps an arbitrary subset on kth-score ties
+        order = np.lexsort((ids, -scores))[:k]
+        return order
+
     def score_partition(batches):
         best_ids: list = []
         best_scores: list = []
         for pdf in batches:
-            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if m.size == 0:
+            vecs = [v for v in pdf[vec_col] if v is not None]
+            ids_all = pdf[id_col].to_numpy()[
+                [i for i, v in enumerate(pdf[vec_col]) if v is not None]
+            ]
+            if not vecs:
                 continue
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
             norms = np.sqrt((m * m).sum(axis=1))
             norms[norms == 0] = 1.0
             scores = np.round((m @ qn) / norms, 6)
-            ids = pdf[id_col].to_numpy()
-            if len(scores) > k:
-                part = np.argpartition(-scores, k)[:k]
-                ids, scores = ids[part], scores[part]
-            best_ids.extend(ids.tolist())
-            best_scores.extend(scores.tolist())
+            sel = topk_idx(scores, ids_all) if len(scores) > k else np.arange(len(scores))
+            best_ids.extend(ids_all[sel].tolist())
+            best_scores.extend(scores[sel].tolist())
         if len(best_ids) > k:
-            bs = np.asarray(best_scores)
-            part = np.argpartition(-bs, k)[:k]
-            best_ids = [best_ids[i] for i in part]
-            best_scores = [best_scores[i] for i in part]
+            bs, bi = np.asarray(best_scores), np.asarray(best_ids)
+            sel = topk_idx(bs, bi)
+            best_ids, best_scores = bi[sel].tolist(), bs[sel].tolist()
         yield pd.DataFrame({"id": best_ids, "score": best_scores})
 
     per_part = df.select(id_col, vec_col).mapInPandas(

@@ -52,7 +52,9 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*",
         F.size(tokens(text_col)).alias("n_tokens"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_ws_tokens"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .alias("n_ws_tokens"),
         F.ceil(F.length(text_col) / 4).cast("long").alias("n_bpe_est"),
     )
 

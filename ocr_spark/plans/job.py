@@ -25,6 +25,7 @@ import json
 import pathlib
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,8 +77,10 @@ class ExtractionJob:
                 .select("word")
                 .collect()
             )
-        except Exception:
-            return None  # first epoch: no learned table yet
+        except AnalysisException:
+            return None  # first epoch: the table does not exist yet
+        # any OTHER failure must raise: running the epoch without the
+        # learned kamus would silently change outputs
         return frozenset(r["word"] for r in rows) or None
 
     # -- lineage ------------------------------------------------------------
@@ -95,13 +98,25 @@ class ExtractionJob:
     def _manifest_path(self, k: int) -> pathlib.Path:
         return self.manifest_dir / f"group-{k:04d}.json"
 
-    def completed_groups(self) -> set[int]:
+    def completed_groups(self, file_groups: list[list[str]] | None = None) -> set[int]:
+        """Groups safe to skip on resume. A manifest only counts when its
+        recorded input_files EXACTLY match the group's current file list —
+        if files arrived/left or --groups changed, the chunking shifted and
+        skipping would silently drop data (the each-byte-exactly-once
+        contract); such groups re-run instead."""
         done = set()
         for p in self.manifest_dir.glob("group-*.json"):
             try:
                 m = json.loads(p.read_text())
-                if m.get("status") == "complete":
-                    done.add(m["group"])
+                if m.get("status") != "complete":
+                    continue
+                k = m["group"]
+                if file_groups is not None and (
+                    k >= len(file_groups)
+                    or m.get("input_files") != file_groups[k]
+                ):
+                    continue  # lineage mismatch -> re-extract this group
+                done.add(k)
             except (ValueError, KeyError):
                 continue  # partial/corrupt manifest -> group reruns
         return done
@@ -162,7 +177,7 @@ class ExtractionJob:
         Returns the aggregated job summary (also written to
         ``_manifests/_SUMMARY.json``)."""
         file_groups = self.input_file_groups()
-        done = self.completed_groups() if resume else set()
+        done = self.completed_groups(file_groups) if resume else set()
         manifests = []
         for k, files in enumerate(file_groups):
             if k in done:

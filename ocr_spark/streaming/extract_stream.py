@@ -140,10 +140,14 @@ def learning_foreach_batch(learned_table_path: str):
     def hook(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         counts = epoch_word_counts(batch_df)
+        from pyspark.errors import AnalysisException
+
         try:
             existing = spark.read.parquet(learned_table_path)
-        except Exception:
-            existing = None
+        except AnalysisException:
+            existing = None  # first micro-batch: table not created yet
+        # other read failures raise — overwriting the table after a
+        # transient error would destroy accumulated learning state
         merged = accrue_learned(existing, counts)
         # local-collect rewrite: the learned table is small (vocab-sized);
         # an Iceberg deployment swaps this for MERGE INTO

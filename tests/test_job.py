@@ -65,3 +65,20 @@ def test_rerun_is_idempotent(spark, transcripts, tmp_path):
     assert s1["turns"] == s2["turns"] == n_rows
     assert s2["resumed_groups"] == [0, 1]
     assert spark.read.parquet(f"{out}/group=*").count() == n_rows
+
+
+def test_resume_revalidates_lineage(spark, transcripts, tmp_path):
+    """A manifest only skips its group when the recorded input_files match
+    the current chunking — a changed --groups (or files arriving) must
+    re-extract everything shifted, not silently skip."""
+    path, _ = transcripts
+    out = str(tmp_path / "out")
+    ExtractionJob(spark, path, out, groups=4).run()
+    job2 = ExtractionJob(spark, path, out, groups=2)
+    groups2 = job2.input_file_groups()
+    assert job2.completed_groups(groups2) == set()  # chunking shifted
+    summary = job2.run(resume=True)
+    assert summary["resumed_groups"] == []  # everything re-ran
+    # same chunking -> all groups skip
+    job3 = ExtractionJob(spark, path, out, groups=2)
+    assert job3.completed_groups(job3.input_file_groups()) == {0, 1}
