@@ -406,10 +406,14 @@ FROM h CROSS JOIN seeds GROUP BY 1, 2
 
 
 def _jaccard_near_dup(spark, sf_dir):
+    """Exact shingle-set Jaccard with the hot-shingle cap at 1000 — inert
+    at oracle scale (a shingle's doc frequency can't exceed the 500-doc
+    sf0.01 table), so the oracle is the exact uncapped Jaccard; at bench
+    scale the cap bounds the self-join fan-out."""
     from ocr_spark.operators.dedup import jaccard_near_duplicates
 
     return jaccard_near_duplicates(
-        _t(spark, sf_dir, "documents"), threshold=0.1, k=3
+        _t(spark, sf_dir, "documents"), threshold=0.1, k=3, max_doc_freq=1000
     )
 
 
@@ -423,6 +427,40 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id, a.n, b.n
 HAVING ROUND(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 6) >= 0.1
+"""
+
+
+def _dedup_clusters(spark, sf_dir):
+    """Pairs → connected components → keeper decision over the WHOLE
+    corpus: the jaccard near-dup pairs (oracle-checked above) resolve to
+    per-document (cluster, keep) via iterated hash-min label propagation —
+    the materialized dedup decision a 100 TB pipeline needs (not a pair
+    list). Oracle: DuckDB recursive CTE computing min-reachable-id."""
+    from ocr_spark.operators.dedup import jaccard_near_duplicates, resolve_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_near_duplicates(docs, threshold=0.1, k=3)
+    return resolve_clusters(pairs, docs, id_col="doc_id")
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id AS label FROM verts
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id AS id,
+       COALESCE(c.cluster, d.doc_id) AS cluster,
+       COALESCE(c.cluster, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
@@ -461,22 +499,90 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 
 
 def _minhash_near_dup(spark, sf_dir):
-    """MinHash-LSH near-dup pipeline — approximate by construction (banded
-    candidate generation), so no SQL oracle: rows-only check. Precision is
-    covered by tests/test_dedup.py (LSH candidates verified by signature
-    similarity)."""
+    """MinHash-LSH near-dup pipeline. Approximate as an ESTIMATOR of
+    Jaccard, but fully deterministic given the hash family and banding —
+    so the whole pipeline (band digests, bucket join, signature-similarity
+    verify) is reproduced exactly in DuckDB. The hot-bucket cap (1000)
+    never fires at oracle scale (≤500 docs/bucket possible at sf0.01)."""
     from ocr_spark.operators.dedup import minhash_near_duplicates
 
     return minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), n_hashes=16, n_bands=4, threshold=0.25
+        _t(spark, sf_dir, "documents"),
+        n_hashes=16,
+        n_bands=4,
+        threshold=0.25,
+        max_bucket_size=1000,
     )
 
 
+_MINHASH_NEAR_DUP_SQL = f"""
+WITH sigs AS ({_MINHASH_SQL}),
+sigarr AS (SELECT id, list(minhash ORDER BY seed) AS sig FROM sigs GROUP BY id),
+bands AS (
+  SELECT id, b.band,
+         md5(array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
+                                            x -> CAST(x AS VARCHAR)), '|')) AS bucket
+  FROM sigarr CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_filter(generate_series(1, 16),
+                                  i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16, 6)
+         AS sig_sim
+FROM cands c
+JOIN sigarr sa ON sa.id = c.id_a
+JOIN sigarr sb ON sb.id = c.id_b
+WHERE CAST(len(list_filter(generate_series(1, 16),
+                           i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 >= 0.25
+"""
+
+
 def _simhash_near_dup(spark, sf_dir):
+    """Block-LSH near-dup pairs at Hamming ≤ 3 over 4 derived 16-bit blocks
+    — inside the pigeonhole guarantee (max_hamming < n_blocks), so the pair
+    set is EXACT and oracle-checked (DuckDB reproduces the block bucketing
+    and bit_count(xor) verification)."""
     from ocr_spark.operators.dedup import simhash_near_duplicates, with_simhash
 
     docs = with_simhash(_t(spark, sf_dir, "documents"))
-    return simhash_near_duplicates(docs, max_hamming=16)
+    return simhash_near_duplicates(docs, max_hamming=3)
+
+
+# Block decomposition of the 64-bit simhash: hamming(a,b) = Σ over the four
+# 16-bit blocks of bit_count(xor(block_a, block_b)) — exact, and it keeps
+# the DuckDB arithmetic in INTEGER range (no HUGEINT xor needed). The
+# unsigned view us = simhash + 2^64 (mod) reproduces shiftrightunsigned.
+_SIMHASH_NEAR_DUP_SQL = f"""
+WITH sh AS ({_SIMHASH_SQL}),
+u AS (
+  SELECT doc_id,
+         CAST(simhash AS HUGEINT)
+         + CASE WHEN simhash < 0 THEN CAST(18446744073709551616 AS HUGEINT)
+                ELSE 0 END AS us
+  FROM sh
+),
+blocks AS (
+  SELECT doc_id, b.i AS block_idx,
+         CAST((us // (CAST(1 AS HUGEINT) << (b.i * 16))) % 65536 AS INTEGER) AS bv
+  FROM u CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocks a JOIN blocks b ON a.block_idx = b.block_idx AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(sum(bit_count(xor(ba.bv, bb.bv))) AS INT) AS hamming
+FROM cands c
+JOIN blocks ba ON ba.doc_id = c.id_a
+JOIN blocks bb ON bb.doc_id = c.id_b AND bb.block_idx = ba.block_idx
+GROUP BY c.id_a, c.id_b
+HAVING sum(bit_count(xor(ba.bv, bb.bv))) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -634,8 +740,11 @@ def _ann_cosine_topk_np(spark, sf_dir):
 
 
 def _ann_lsh_topk(spark, sf_dir):
-    """Bucketed (approximate) variant — rows-only check; recall vs the exact
-    top-k is asserted in tests/test_similarity.py."""
+    """Bucketed variant — approximate as SEARCH (bucket prefilter loses
+    recall) but deterministic given the seeded hyperplanes, which enter the
+    DuckDB oracle as literals: same bucket bits, same rerank, same top-k.
+    Recall vs the exact top-k is additionally asserted in
+    tests/test_similarity.py."""
     from ocr_spark.operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -643,12 +752,68 @@ def _ann_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(emb, qvec, k=10, n_planes=6)
 
 
+#: embedding width of the testdata embeddings table (fixed contract across
+#: SFs — asserted against the parquet in tests/test_similarity.py)
+_EMB_DIM = 64
+
+
+def _bucket_sql(vec_expr: str, n_planes: int, seed: int = 7) -> str:
+    """Sign-bit bucket expression with the SAME seeded hyperplanes the Spark
+    operators use (similarity.hyperplanes) inlined as literals. ``repr``
+    round-trips float64 exactly, so both engines see bit-identical planes."""
+    from ocr_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(_EMB_DIM, n_planes, seed)
+    bits = ", ".join(
+        "CASE WHEN list_inner_product({v}, [{p}]) >= 0 THEN '1' ELSE '0' END".format(
+            v=vec_expr, p=", ".join(repr(x) for x in plane)
+        )
+        for plane in planes
+    )
+    return f"concat({bits})"
+
+
+def _ann_lsh_sql() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+b AS (SELECT vec_id, v, {_bucket_sql('v', 6)} AS bucket FROM v),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id AS id,
+       ROUND(CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 0.0
+                  ELSE list_inner_product(v, qv)
+                       / (sqrt(list_inner_product(v, v))
+                          * sqrt(list_inner_product(qv, qv))) END, 6) AS score
+FROM b, q WHERE b.bucket = q.qb
+ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+
 def _embedding_near_dup(spark, sf_dir):
+    """LSH-bucketed self-join + exact cosine verify. Deterministic given the
+    seeded hyperplanes (literals in the oracle too); dim passed explicitly
+    (table contract) so no probe job runs."""
     from ocr_spark.operators.similarity import embedding_near_duplicates
 
     return embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=3
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=3, dim=_EMB_DIM
     )
+
+
+def _emb_near_dup_sql() -> str:
+    return f"""
+WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+b AS (SELECT id, v, {_bucket_sql('v', 3)} AS bucket FROM v),
+scored AS (
+  SELECT a.id AS id_a, b2.id AS id_b,
+         ROUND(list_inner_product(a.v, b2.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b2.v, b2.v))), 6) AS cos
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+)
+SELECT DISTINCT id_a, id_b, cos FROM scored WHERE cos >= 0.4
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -750,7 +915,8 @@ def _token_counts(spark, sf_dir):
 _TOKEN_COUNTS_SQL = f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(lower(text), '{WORD_RE}')) AS INT) AS n_tokens,
-       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_ws_tokens,
        CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_bpe_est
 FROM documents
 """
@@ -868,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _minhash_signatures,
         "minhash_near_dup": _minhash_near_dup,
         "jaccard_near_dup": _jaccard_near_dup,
+        "dedup_clusters": _dedup_clusters,
         "simhash": _simhash,
         "simhash_near_dup": _simhash_near_dup,
         "decontaminate": _decontaminate,
@@ -889,14 +1056,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles for every SQL-expressible query. Omitted (rows-only):
-    flagship_extract / full_pipeline (per-turn extraction — golden-file +
-    differential-fuzz gated instead), boilerplate_strip / pdf_layout
-    (prev/next-block classification and geometric clustering — pytest
-    geometry/classification goldens), minhash_near_dup / simhash_near_dup /
-    ann_lsh_topk / embedding_near_dup (approximate-by-construction LSH
-    variants — their exact counterparts ARE oracle-checked above; recall
-    properties are pytest-gated)."""
+    """DuckDB oracles for every SQL-expressible query — including the whole
+    LSH family (minhash_near_dup / simhash_near_dup / ann_lsh_topk /
+    embedding_near_dup): approximate as estimators/search, but fully
+    deterministic given the seeded hash families and hyperplanes, so DuckDB
+    reproduces the bucketing and verification bit-for-bit. Omitted
+    (rows-only): flagship_extract / full_pipeline (per-turn extraction —
+    golden-file + differential-fuzz gated instead), boilerplate_strip /
+    pdf_layout (prev/next-block classification and geometric clustering —
+    pytest geometry/classification goldens)."""
     return {
         "a1_event_stats": _A1_SQL,
         "a2_events_by_date": _A2_SQL,
@@ -911,12 +1079,17 @@ def oracle_sql() -> dict[str, str]:
         "j2_unknown_antijoin": _J2_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "minhash_signatures": _MINHASH_SQL,
+        "minhash_near_dup": _MINHASH_NEAR_DUP_SQL,
         "jaccard_near_dup": _JACCARD_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "simhash": _SIMHASH_SQL,
+        "simhash_near_dup": _SIMHASH_NEAR_DUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_topk_np": _ANN_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "embedding_near_dup": _emb_near_dup_sql(),
         "lang_id_counts": _langid_sql(),
         "doc_quality": _quality_sql(),
         "token_counts": _TOKEN_COUNTS_SQL,

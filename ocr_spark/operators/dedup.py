@@ -130,7 +130,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_bands: int = 4
+    signatures: DataFrame, n_bands: int = 4, max_bucket_size: int | None = None
 ) -> DataFrame:
     """Banded LSH: split each signature into ``n_bands`` contiguous bands,
     bucket on (band index, band content), self-join buckets → candidate
@@ -139,7 +139,14 @@ def lsh_candidate_pairs(
     The shuffle key is a fixed-width digest; bucket groups are small unless
     documents truly collide, which is the point. The join is a same-key
     equi-join AQE can handle even when one bucket is hot (skew-join split).
-    """
+
+    ``max_bucket_size`` is the hot-bucket cap: buckets holding more members
+    than the cap (boilerplate-identical bands — n² join rows each) are
+    dropped before the self-join, the standard LSH stop-bucket guard. Pairs
+    relying only on an over-cap bucket are lost (documented recall
+    trade-off); a bucket that big means the docs are near-identical and
+    will still collide in the other bands. The dropped buckets are a
+    groupBy-count + broadcast anti-join — no driver materialization."""
     bands = signatures.select(
         "id",
         F.posexplode(
@@ -164,6 +171,14 @@ def lsh_candidate_pairs(
             )
         ).alias("_pos", "bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        hot = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -182,15 +197,17 @@ def minhash_near_duplicates(
     n_bands: int = 4,
     k: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     signature-similarity verification (fraction of equal positions ≥
-    threshold). Returns (id_a, id_b, sig_sim)."""
+    threshold). ``max_bucket_size`` forwards to the hot-bucket cap in
+    :func:`lsh_candidate_pairs`. Returns (id_a, id_b, sig_sim)."""
     # cached because three subtrees consume it (banding + both join sides);
     # ContextCleaner drops the cached data when the returned plan is GC'd —
     # long-lived drivers sweeping many corpora should unpersist explicitly
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, k).cache()
-    cands = lsh_candidate_pairs(sigs, n_bands)
+    cands = lsh_candidate_pairs(sigs, n_bands, max_bucket_size)
     a = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
     sim = F.round(
@@ -222,6 +239,7 @@ def jaccard_near_duplicates(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     k: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over pairs sharing ≥1 shingle.
 
@@ -229,19 +247,45 @@ def jaccard_near_duplicates(
     (|a|+|b|-|∩|). The join key is the shingle's 60-bit md5 prefix (same
     value the MinHash family uses), not the string — fixed-width longs
     shuffle and compare ~2× faster than shingle text, at a ~2⁻⁴⁰ collision
-    rate that the SQL oracle reproduces bit-for-bit. Hot shingles create
-    skew, which AQE skew-join splits. Exact but O(pairs-sharing-a-shingle)
-    — the LSH variant above is the scale path; this one is the precision
-    oracle/verifier. Returns (id_a, id_b, jaccard)."""
+    rate that the SQL oracle reproduces bit-for-bit.
+
+    ``max_doc_freq`` is the hot-shingle cap: a shingle present in n
+    documents yields n² join rows, so one boilerplate shingle shared by 10⁶
+    docs is a job-killer at scale. With the cap, shingles whose document
+    frequency exceeds it are removed from the shingle UNIVERSE (both the
+    intersection and the per-doc set sizes — the standard stop-shingle
+    semantics, so Jaccard stays a true set similarity over the filtered
+    sets); the drop is a groupBy-count + broadcast anti-join, no driver
+    materialization. With ``max_doc_freq=None`` (the oracle configuration)
+    results are the exact unfiltered Jaccard.
+
+    Exact but O(pairs-sharing-a-shingle) — the LSH variant above is the
+    scale path; this one is the precision oracle/verifier. Returns
+    (id_a, id_b, jaccard)."""
     sh = shingles(text_col, k)
     ids = F.transform(
         sh,
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
-    sized = df.select(
-        F.col(id_col).alias("id"), ids.alias("sh")
-    ).select("id", "sh", F.size("sh").alias("n_sh"))
-    ex = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_doc_freq is None:
+        # narrow fast path: per-doc set size computed before the explode
+        sized = df.select(
+            F.col(id_col).alias("id"), ids.alias("sh")
+        ).select("id", "sh", F.size("sh").alias("n_sh"))
+        ex = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    else:
+        ex0 = df.select(F.col(id_col).alias("id"), ids.alias("sh")).select(
+            "id", F.explode("sh").alias("shingle")
+        )
+        hot = (
+            ex0.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        kept = ex0.join(F.broadcast(hot), "shingle", "left_anti")
+        sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        ex = kept.join(sizes, "id").select("id", "n_sh", "shingle")
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -363,21 +407,44 @@ def with_simhash(
     )
 
 
+def simhash_blocks(n_blocks: int) -> list[tuple[int, int]]:
+    """(shift, width) per block: 64 bits split into ``n_blocks`` contiguous
+    blocks, widths as even as possible (the first 64 % n_blocks blocks get
+    the extra bit) so every bit is covered — uneven coverage would waste
+    bucket selectivity, uncovered bits would loosen it."""
+    w, r = divmod(64, n_blocks)
+    widths = [w + 1] * r + [w] * (n_blocks - r)
+    shifts, off = [], 0
+    for width in widths:
+        shifts.append((off, width))
+        off += width
+    return shifts
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found by the
     block-permutation trick: split the 64-bit hash into ``n_blocks`` blocks;
-    any pair within distance < n_blocks agrees on ≥1 whole block → join on
-    (block index, block value) as the LSH bucket, verify with bit_count.
+    any pair within distance < n_blocks agrees on ≥1 whole block (pigeonhole)
+    → join on (block index, block value) as the LSH bucket, verify with
+    bit_count. The guarantee is EXACT only when ``max_hamming < n_blocks``,
+    so ``n_blocks`` defaults to ``max_hamming + 1`` and a larger
+    ``max_hamming`` is rejected rather than silently under-recalling.
 
     ``bit_count(a ^ b)`` is a built-in (JVM codegen); the join key is a
-    16-bit block value + index. Returns (id_a, id_b, hamming)."""
-    w = 64 // n_blocks
+    ≤16-bit block value + index. Returns (id_a, id_b, hamming)."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if not max_hamming < n_blocks <= 64:
+        raise ValueError(
+            f"block-LSH is exhaustive only for max_hamming < n_blocks <= 64; "
+            f"got max_hamming={max_hamming}, n_blocks={n_blocks}"
+        )
     hashed = df.select(F.col(id_col).alias("id"), "simhash").withColumn(
         "simhash", F.col("simhash").cast("long")
     )
@@ -387,10 +454,10 @@ def simhash_near_duplicates(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), i * w).bitwiseAND(
-                        F.lit((1 << w) - 1)
+                    F.shiftrightunsigned(F.col("simhash"), shift).bitwiseAND(
+                        F.lit((1 << width) - 1)
                     )
-                    for i in range(n_blocks)
+                    for shift, width in simhash_blocks(n_blocks)
                 ]
             )
         ).alias("block_idx", "block_val"),
@@ -409,3 +476,106 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: pairs → connected components → keeper set.
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a pair list by iterated hash-min label
+    propagation — pure DataFrame joins, no driver-side union-find, no
+    ``collect()``. Returns (id, cluster) for every id appearing in a pair;
+    cluster = the component's minimum id (deterministic canonical label).
+
+    Each iteration: every vertex takes the min of its own label and its
+    neighbours' labels (edges made symmetric, one shuffle join + one
+    hash-aggregate). Convergence in O(component diameter) iterations —
+    near-dup graphs are bucket-join cliques, so diameter is tiny even when
+    a cluster has 10⁶ members (a star converges in 2 passes; see the skew
+    test). Labels only ever decrease, so ``sum(label)`` is a strictly
+    decreasing convergence witness — one scalar agg per iteration instead
+    of a change-count join. ``localCheckpoint`` truncates the iterative
+    lineage each pass (swap for reliable ``checkpoint`` on a real cluster
+    where executor loss must not restart the whole loop)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(
+        F.sum(F.col("cluster").cast("decimal(38,0)"))
+    ).first()[0]
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "cluster")
+        labels = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)"))
+        ).first()[0]
+        if new_sum == prev_sum:  # labels only decrease: equal sum == fixpoint
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def resolve_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Full-corpus cluster assignment: (id, cluster, keep) for EVERY
+    document — docs in no pair are their own singleton cluster; inside a
+    dup component the minimum id is the canonical keeper (keep=true),
+    every other member keep=false. This is the decision layer every
+    near-dup pair generator above feeds (the reference's analog is the
+    implicit dedup of its ``word UNIQUE`` upserts, db_service.py:66-76).
+
+    Shape at 100 TB: the component computation touches only pair vertices
+    (tiny vs the corpus); the corpus-wide assignment is one broadcast-able
+    left join."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster", F.col("id")).alias("cluster"),
+            (F.coalesce("cluster", F.col("id")) == F.col("id")).alias("keep"),
+        )
+    )
+
+
+def dedup_corpus(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The materialized deduplicated corpus: keep one document (min id) per
+    duplicate cluster, all columns preserved — docs anti-joined against the
+    dropped member set."""
+    dropped = (
+        connected_components(pairs)
+        .filter(F.col("cluster") != F.col("id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(dropped, id_col, "left_anti")

@@ -148,14 +148,18 @@ def resize_images(
                     "real resize requires an image library; implement here"
                 )
             ids, payloads, ws, hs = [], [], [], []
-            for _, row in pdf.iterrows():
+            # column-wise zip, not iterrows — iterrows builds a Series per
+            # row (the slow path a real codec loop must not inherit)
+            for mid, payload, width, height in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
                 # Spark NULLs surface as NaN in pandas numeric columns —
                 # `is not None` never fires; pd.isna is the correct guard
-                w = 0 if pd.isna(row["width"]) else int(row["width"])
-                h = 0 if pd.isna(row["height"]) else int(row["height"])
-                p = bytes(row["payload"]) if row["payload"] is not None else b""
+                w = 0 if pd.isna(width) else int(width)
+                h = 0 if pd.isna(height) else int(height)
+                p = bytes(payload) if payload is not None else b""
                 scale = min(1.0, max_dim / max(w, h)) if max(w, h) else 1.0
-                ids.append(row["media_id"])
+                ids.append(mid)
                 payloads.append(p[: max(1, int(len(p) * scale))] if p else p)
                 ws.append(int(w * scale))
                 hs.append(int(h * scale))
@@ -190,16 +194,18 @@ def sample_frames(
                     "real frame extraction requires ffmpeg/cv2; implement here"
                 )
             rows = []
-            for _, row in pdf.iterrows():
-                dur = 0 if pd.isna(row["duration_ms"]) else int(row["duration_ms"])
-                p = bytes(row["payload"]) if row["payload"] is not None else b""
+            for mid, payload, duration_ms in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                dur = 0 if pd.isna(duration_ms) else int(duration_ms)
+                p = bytes(payload) if payload is not None else b""
                 n = min(max_frames, max(1, int(dur // every_ms)))
                 for i in range(n):
                     ts = i * every_ms
                     lo = (i * 7) % max(1, len(p))
                     rows.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": mid,
                             "frame_idx": i,
                             "frame_ts_ms": ts,
                             "frame": p[lo : lo + 16],

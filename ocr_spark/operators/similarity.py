@@ -207,9 +207,29 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH-bucketed self-join + exact
     verification. Only same-bucket pairs are scored; n_planes trades recall
-    for join fan-in. Returns (id_a, id_b, cos) with cos ≥ threshold."""
+    for join fan-in. Returns (id_a, id_b, cos) with cos ≥ threshold.
+
+    Pass ``dim`` explicitly where known (the embedding width is part of the
+    table contract) — it keeps the call plan-only. When omitted, ONE probe
+    job samples a non-null vector; an empty/all-null input yields an empty
+    result instead of a TypeError."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe = (
+            df.filter(F.col(vec_col).isNotNull()).select(vec_col).head(1)
+        )
+        if not probe:
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            id_type = df.schema[id_col].dataType
+            empty = StructType(
+                [
+                    StructField("id_a", id_type),
+                    StructField("id_b", id_type),
+                    StructField("cos", DoubleType()),
+                ]
+            )
+            return df.sparkSession.createDataFrame([], empty)
+        dim = len(probe[0][0])
     planes = hyperplanes(dim, n_planes, seed)
     bucketed = df.select(
         F.col(id_col).alias("id"),

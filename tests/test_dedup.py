@@ -130,6 +130,21 @@ def test_simhash_matches_reference_impl(corpus):
         assert got[doc_id] == _simhash_ref(text), doc_id
 
 
+def _brute_hamming_pairs(corpus, max_hamming):
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    sims = {i: _simhash_ref(t) for i, t in texts.items()}
+
+    def ham(a, b):
+        return bin((a & (1 << 64) - 1) ^ (b & (1 << 64) - 1)).count("1")
+
+    return {
+        (i, j): ham(sims[i], sims[j])
+        for i in sims
+        for j in sims
+        if i < j and ham(sims[i], sims[j]) <= max_hamming
+    }
+
+
 def test_simhash_near_dup_block_lsh(corpus):
     hashed = with_simhash(corpus)
     pairs = {
@@ -137,26 +152,37 @@ def test_simhash_near_dup_block_lsh(corpus):
         for r in simhash_near_duplicates(hashed, max_hamming=16).collect()
     }
     assert pairs.get((0, 1)) == 0  # identical docs -> distance 0
-    # block-LSH guarantee: every pair with hamming < n_blocks (4) shares at
-    # least one whole 16-bit block, so those pairs are found EXACTLY; pairs
-    # further out are found only if they happen to share a block.
-    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
-    sims = {i: _simhash_ref(t) for i, t in texts.items()}
+    # with n_blocks derived as max_hamming+1 the pigeonhole guarantee is
+    # EXHAUSTIVE: the operator's pair set equals brute-force all-pairs
+    assert pairs == _brute_hamming_pairs(corpus, 16)
 
-    def ham(a, b):
-        return bin((a & (1 << 64) - 1) ^ (b & (1 << 64) - 1)).count("1")
 
-    truth = {
-        (i, j): ham(sims[i], sims[j])
-        for i in sims
-        for j in sims
-        if i < j
+def test_simhash_near_dup_exact_at_default(corpus):
+    hashed = with_simhash(corpus)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(hashed, max_hamming=3).collect()
     }
-    guaranteed = {p for p, h in truth.items() if h < 4}
-    assert guaranteed <= set(pairs)
-    for p, h in pairs.items():
-        assert truth[p] == h  # reported distances are exact
-        assert h <= 16
+    assert pairs == _brute_hamming_pairs(corpus, 3)
+
+
+def test_simhash_near_dup_rejects_guarantee_breach(corpus):
+    hashed = with_simhash(corpus)
+    with pytest.raises(ValueError, match="max_hamming < n_blocks"):
+        simhash_near_duplicates(hashed, max_hamming=16, n_blocks=4)
+    with pytest.raises(ValueError):
+        simhash_near_duplicates(hashed, max_hamming=64)  # 65 blocks > 64 bits
+
+
+def test_simhash_blocks_cover_all_64_bits():
+    from ocr_spark.operators.dedup import simhash_blocks
+
+    for n in (4, 7, 17, 64):
+        blocks = simhash_blocks(n)
+        covered = sorted(
+            bit for shift, width in blocks for bit in range(shift, shift + width)
+        )
+        assert covered == list(range(64)), n
 
 
 def test_empty_and_null_texts(spark):
@@ -201,3 +227,124 @@ def test_stratified_sample_deterministic_and_bounded(spark):
         by_src[f"src{i % 2}"] += 1
     assert abs(by_src["src0"] / 1000 - 0.30) < 0.05
     assert abs(by_src["src1"] / 1000 - 0.70) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Cluster resolution (pairs -> connected components -> keeper set).
+# ---------------------------------------------------------------------------
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_connected_components_chain_and_islands(spark):
+    from ocr_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation pass) + island 8-9
+    comp = {
+        r["id"]: r["cluster"]
+        for r in connected_components(
+            _pairs_df(spark, [(1, 2), (2, 3), (3, 4), (8, 9)])
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_connected_components_skewed_star_cluster(spark):
+    from ocr_spark.operators.dedup import connected_components
+
+    # one 1000-member star (hub 0) — the hot-cluster skew shape; min-label
+    # propagation resolves it without quadratic work or driver state
+    star = [(0, i) for i in range(1, 1000)] + [(2000, 2001)]
+    comp = {
+        r["id"]: r["cluster"]
+        for r in connected_components(_pairs_df(spark, star)).collect()
+    }
+    assert len(comp) == 1002
+    assert all(comp[i] == 0 for i in range(1000))
+    assert comp[2000] == comp[2001] == 2000
+
+
+def test_connected_components_empty_pairs(spark):
+    from ocr_spark.operators.dedup import connected_components
+
+    assert connected_components(_pairs_df(spark, [])).count() == 0
+
+
+def test_resolve_clusters_keeper_semantics(spark, corpus):
+    from ocr_spark.operators.dedup import resolve_clusters
+
+    pairs = jaccard_near_duplicates(corpus, threshold=0.5)
+    out = {r["id"]: (r["cluster"], r["keep"]) for r in
+           resolve_clusters(pairs, corpus).collect()}
+    assert len(out) == corpus.count()  # every doc assigned
+    # docs 0/1 (exact dup) and 2 (near dup) form one cluster kept by min id 0
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)
+    # singletons keep themselves
+    assert out[4] == (4, True)
+
+
+def test_dedup_corpus_materializes_keepers(spark, corpus):
+    from ocr_spark.operators.dedup import dedup_corpus
+
+    pairs = jaccard_near_duplicates(corpus, threshold=0.5)
+    kept = dedup_corpus(pairs, corpus)
+    assert set(kept.columns) == set(corpus.columns)  # all columns preserved
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert {3, 4}.issubset(ids)
+
+
+# ---------------------------------------------------------------------------
+# Hot-shingle / hot-bucket caps.
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_hot_shingle_cap_bounds_fanout(spark):
+    # adversarial: 500 docs share one boilerplate shingle; distinct tails.
+    # Uncapped, that shingle alone yields 500*499/2 ≈ 125k join rows; with
+    # the cap the hot shingle leaves the universe and no pair survives.
+    rows = [
+        (i, f"shared boiler plate unique{i} tail{i} words{i} here{i}")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = jaccard_near_duplicates(df, threshold=0.05, max_doc_freq=100)
+    assert capped.count() == 0
+    # sanity: uncapped DOES produce the quadratic pair set at low threshold
+    uncapped = jaccard_near_duplicates(
+        df.limit(50), threshold=0.05, max_doc_freq=None
+    )
+    assert uncapped.count() == 50 * 49 / 2
+
+
+def test_jaccard_cap_noop_below_threshold(spark, corpus):
+    # cap far above any doc frequency -> byte-identical to the exact path
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_near_duplicates(corpus, threshold=0.1).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_near_duplicates(
+            corpus, threshold=0.1, max_doc_freq=1000
+        ).collect()
+    }
+    assert exact == capped
+
+
+def test_lsh_hot_bucket_cap(spark):
+    # 300 identical docs collapse into one bucket per band; cap drops them
+    rows = [(i, BASE) for i in range(300)] + [(1000, FAR), (1001, FAR)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(df)
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=100).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in got  # small bucket survives
+    assert not any(a < 300 and b < 300 for a, b in got)  # hot bucket dropped
+    # uncapped finds the identical docs
+    full = lsh_candidate_pairs(sigs).where(F.col("id_a") < 300)
+    assert full.count() == 300 * 299 / 2

@@ -105,6 +105,32 @@ def test_numpy_topk_matches_hof_topk(vectors):
         assert abs(a - b) <= 1e-6
 
 
+def test_embedding_near_dup_empty_and_null_inputs(spark, vectors):
+    df, _ = vectors
+    empty = df.limit(0)
+    assert embedding_near_duplicates(empty).count() == 0  # no TypeError probe
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    assert embedding_near_duplicates(nulls).count() == 0
+
+
+def test_embedding_near_dup_explicit_dim_matches_probed(vectors):
+    df, byid = vectors
+    dim = len(byid[0])
+    probed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(df, threshold=0.95, n_planes=4).collect()
+    }
+    explicit = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.95, n_planes=4, dim=dim
+        ).collect()
+    }
+    assert probed == explicit
+
+
 def test_hyperplanes_deterministic():
     a = hyperplanes(8, 4, seed=7)
     b = hyperplanes(8, 4, seed=7)
