@@ -181,6 +181,46 @@ FROM a FULL OUTER JOIN b ON a.word = b.word
 
 
 
+def _s5_export(spark, sf_dir):
+    """S5 learned-words JSON export rows (routers/learning.py:184-248):
+    approved section (frequency >= 5) + pending section capped at 1000 by
+    (frequency desc, word asc) over the deterministic doc-word learned
+    table. The JSON sink itself (version header + words as JSON lines) is
+    round-trip tested in tests/test_learning.py."""
+    from ocr_spark.operators.learning import export_learned_words
+
+    ts0 = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    learned = (
+        _doc_words(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("frequency"))
+        .select(
+            "word",
+            "frequency",
+            (F.col("frequency") >= 5).alias("is_approved"),
+            ts0.alias("first_seen"),
+            ts0.alias("last_seen"),
+            F.when(F.col("frequency") >= 5, ts0).alias("approved_at"),
+        )
+    )
+    return export_learned_words(learned).select("section", "word", "frequency")
+
+
+def _s5_sql() -> str:
+    return f"""
+WITH freq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS frequency
+  FROM ({_DOC_WORDS_SQL}) GROUP BY word
+)
+SELECT 'approved' AS section, word, frequency FROM freq WHERE frequency >= 5
+UNION ALL
+SELECT * FROM (
+  SELECT 'pending' AS section, word, frequency FROM freq WHERE frequency < 5
+  ORDER BY frequency DESC, word ASC LIMIT 1000
+)
+"""
+
+
 def _a5_counts_by_type(spark, sf_dir):
     from ocr_spark.operators.metrics import counts_by_type
 
@@ -1026,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_event_pagination": _a9_event_pagination,
         # sinks / reassembly / joins (S4, T8, J2)
         "s4_preview": _s4_preview,
+        "s5_export": _s5_export,
         "s6_import_merge": _s6_import_merge,
         "t8_event_sessions": _t8_event_sessions,
         "j2_unknown_antijoin": _j2_unknown_antijoin,
@@ -1074,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "a8_top_pending": _A8_SQL,
         "a9_event_pagination": _A9_SQL,
         "s4_preview": _S4_SQL,
+        "s5_export": _s5_sql(),
         "s6_import_merge": _s6_sql(),
         "t8_event_sessions": _T8_SQL,
         "j2_unknown_antijoin": _J2_SQL,

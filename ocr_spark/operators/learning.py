@@ -99,6 +99,93 @@ def merge_import(existing: DataFrame, imported: DataFrame) -> DataFrame:
     )
 
 
+EXPORT_VERSION = "1.0"
+
+
+def export_learned_words(
+    learned: DataFrame,
+    approved_only: bool = False,
+    pending_limit: int = 1000,
+) -> DataFrame:
+    """S5 export rows (reference routers/learning.py:184-248): ALL approved
+    words plus pending words capped at ``pending_limit`` by (frequency desc,
+    last_seen desc, word asc — the reference's ordering plus a
+    deterministic tie-break), tagged with a ``section`` column standing in
+    for the response's two lists. ``approved_only`` mirrors the
+    /export/approved variant (words only)."""
+    cols = ["word", "frequency", "first_seen", "last_seen", "approved_at"]
+    approved = learned.filter("is_approved").select(
+        F.lit("approved").alias("section"), *cols
+    )
+    if approved_only:
+        return approved
+    pending = (
+        learned.filter(~F.col("is_approved"))
+        .orderBy(F.desc("frequency"), F.desc("last_seen"), F.asc("word"))
+        .limit(pending_limit)
+        .select(F.lit("pending").alias("section"), *cols)
+    )
+    return approved.unionByName(pending)
+
+
+def write_learned_export(
+    learned: DataFrame,
+    path: str,
+    export_date: str,
+    approved_only: bool = False,
+    pending_limit: int = 1000,
+) -> dict:
+    """JSON export sink: word rows as JSON lines under ``{path}/words`` plus
+    a ``_meta.json`` version header matching the reference's ExportResponse
+    envelope (version / export_date / totals). The rows scale out through
+    ``df.write.json``; only the tiny per-section counts touch the driver.
+    Returns the meta dict."""
+    import json
+    import pathlib
+
+    rows = export_learned_words(learned, approved_only, pending_limit)
+    rows.write.mode("overwrite").json(f"{path}/words")
+    counts = {
+        r["section"]: r["n"]
+        for r in rows.groupBy("section").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    meta = {
+        "version": EXPORT_VERSION,
+        "export_date": export_date,
+        "total_words": sum(counts.values()),
+        "approved_count": counts.get("approved", 0),
+        "pending_count": counts.get("pending", 0),
+        "export_type": "approved_only" if approved_only else "full",
+    }
+    root = pathlib.Path(path)
+    root.mkdir(parents=True, exist_ok=True)
+    tmp = root / "_meta.json.tmp"
+    tmp.write_text(json.dumps(meta, indent=1))
+    tmp.rename(root / "_meta.json")
+    return meta
+
+
+EXPORT_ROW_DDL = (
+    "section string, word string, frequency long, first_seen timestamp, "
+    "last_seen timestamp, approved_at timestamp"
+)
+
+
+def read_learned_export(spark, path: str) -> DataFrame:
+    """Read an export back into the learned_words schema — the S6 import
+    source (round-trips through merge_import; tested). The explicit schema
+    keeps types stable regardless of JSON inference."""
+    rows = spark.read.schema(EXPORT_ROW_DDL).json(f"{path}/words")
+    return rows.select(
+        "word",
+        "frequency",
+        (F.col("section") == "approved").alias("is_approved"),
+        "first_seen",
+        "last_seen",
+        "approved_at",
+    )
+
+
 def kamus_union(base_words: DataFrame, learned: DataFrame) -> DataFrame:
     """J5: next epoch's dictionary = base kamus ∪ approved learned words."""
     return (

@@ -21,6 +21,7 @@ loses at most one group of work.
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import pathlib
 import time
@@ -70,6 +71,11 @@ class ExtractionJob:
     def _load_learned(self, path: str | None) -> frozenset | None:
         if not path:
             return None
+        # versioned learned tables (streaming accrual) commit through a
+        # _CURRENT pointer — resolve it; plain parquet dirs read directly
+        cur = pathlib.Path(path) / "_CURRENT"
+        if cur.exists():
+            path = str(pathlib.Path(path) / json.loads(cur.read_text())["snapshot"])
         try:
             rows = (
                 self.spark.read.parquet(path)
@@ -82,6 +88,22 @@ class ExtractionJob:
         # any OTHER failure must raise: running the epoch without the
         # learned kamus would silently change outputs
         return frozenset(r["word"] for r in rows) or None
+
+    def _flags(self) -> dict:
+        """The configuration fingerprint a group's output depends on. A
+        resumed group only counts as done when these match — otherwise two
+        epochs/configurations would silently mix in one output dataset.
+        The learned kamus is fingerprinted by CONTENT hash (sorted words),
+        not size: two epochs can have equal counts and different words."""
+        kamus_hash = hashlib.sha256(
+            "\n".join(sorted(self.extra_kamus or ())).encode()
+        ).hexdigest()[:16]
+        return {
+            "use_dictionary": self.use_dictionary,
+            "use_spelling": self.use_spelling,
+            "learned_kamus_words": len(self.extra_kamus or ()),
+            "learned_kamus_hash": kamus_hash,
+        }
 
     # -- lineage ------------------------------------------------------------
 
@@ -103,7 +125,11 @@ class ExtractionJob:
         recorded input_files EXACTLY match the group's current file list —
         if files arrived/left or --groups changed, the chunking shifted and
         skipping would silently drop data (the each-byte-exactly-once
-        contract); such groups re-run instead."""
+        contract) — AND its recorded flags (incl. the learned-kamus content
+        hash) match the current job config — otherwise a resume with
+        different --no-dictionary/--no-spelling/--learned-words would mix
+        two configurations in one output. Such groups re-run instead."""
+        flags = self._flags()
         done = set()
         for p in self.manifest_dir.glob("group-*.json"):
             try:
@@ -116,6 +142,8 @@ class ExtractionJob:
                     or m.get("input_files") != file_groups[k]
                 ):
                     continue  # lineage mismatch -> re-extract this group
+                if m.get("flags") != flags:
+                    continue  # config mismatch -> re-extract this group
                 done.add(k)
             except (ValueError, KeyError):
                 continue  # partial/corrupt manifest -> group reruns
@@ -160,11 +188,7 @@ class ExtractionJob:
             "bytes_extracted": int(m["bytes_extracted"] or 0),
             "spans": int(m["spans"] or 0),
             "wall_ms": int((time.monotonic() - t0) * 1000),
-            "flags": {
-                "use_dictionary": self.use_dictionary,
-                "use_spelling": self.use_spelling,
-                "learned_kamus_words": len(self.extra_kamus or ()),
-            },
+            "flags": self._flags(),
         }
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         tmp = self._manifest_path(k).with_suffix(".tmp")

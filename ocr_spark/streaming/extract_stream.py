@@ -16,6 +16,10 @@ code path for A7.
 """
 from __future__ import annotations
 
+import json
+import pathlib
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -131,30 +135,70 @@ def dedup_stream(
     return s.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
 
 
-def learning_foreach_batch(learned_table_path: str):
+#: pointer file naming the live snapshot of a versioned learned table
+LEARNED_CURRENT = "_CURRENT"
+
+
+def _learned_state(root: pathlib.Path) -> dict | None:
+    cur = root / LEARNED_CURRENT
+    if not cur.exists():
+        return None
+    return json.loads(cur.read_text())
+
+
+def read_learned_table(spark: SparkSession, learned_table_path: str) -> DataFrame | None:
+    """Resolve the ``_CURRENT`` pointer of a versioned learned table and
+    read the live snapshot; None when no snapshot has been committed yet."""
+    root = pathlib.Path(learned_table_path)
+    state = _learned_state(root)
+    if state is None:
+        return None
+    return spark.read.parquet(str(root / state["snapshot"]))
+
+
+def learning_foreach_batch(learned_table_path: str, keep_snapshots: int = 2):
     """``foreachBatch`` hook: accrue unknown-word frequencies per
     micro-batch by reusing the batch epoch merge — A7 semantics identical
-    in stream and batch (epoch == micro-batch)."""
+    in stream and batch (epoch == micro-batch).
+
+    Exactly-once across foreachBatch's at-least-once replays: the last
+    applied batch_id is recorded in the ``_CURRENT`` pointer, and a replayed
+    micro-batch (batch_id <= recorded) is a no-op — without this, a
+    crash-replay would re-ADD frequencies and auto-approve words early.
+
+    Snapshot protocol (the plain-filesystem rendition of an Iceberg
+    ``MERGE INTO`` + snapshot commit): merge reads snapshot N and writes
+    snapshot N+1 to a temp dir, the dir is renamed into place, then the
+    pointer file is atomically replaced. No driver-side ``collect()`` —
+    the merge stays on executors, so a 100 TB multilingual vocabulary is
+    fine. The last ``keep_snapshots`` snapshots are retained (crash safety
+    + debug); older ones are GC'd."""
     from ocr_spark.operators.learning import accrue_learned, epoch_word_counts
 
     def hook(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        counts = epoch_word_counts(batch_df)
-        from pyspark.errors import AnalysisException
-
-        try:
-            existing = spark.read.parquet(learned_table_path)
-        except AnalysisException:
-            existing = None  # first micro-batch: table not created yet
-        # other read failures raise — overwriting the table after a
-        # transient error would destroy accumulated learning state
-        merged = accrue_learned(existing, counts)
-        # local-collect rewrite: the learned table is small (vocab-sized);
-        # an Iceberg deployment swaps this for MERGE INTO
-        rows = merged.collect()
-        if rows:
-            spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(learned_table_path)
+        root = pathlib.Path(learned_table_path)
+        root.mkdir(parents=True, exist_ok=True)
+        state = _learned_state(root)
+        if state is not None and batch_id <= state["batch_id"]:
+            return  # at-least-once replay of an already-applied micro-batch
+        existing = (
+            spark.read.parquet(str(root / state["snapshot"])) if state else None
+        )
+        merged = accrue_learned(existing, epoch_word_counts(batch_df))
+        snap = f"v{batch_id:010d}"
+        tmp = root / f"_tmp-{snap}"
+        if tmp.exists():
+            shutil.rmtree(tmp)  # leftover from a crashed attempt
+        merged.write.mode("overwrite").parquet(str(tmp))
+        final = root / snap
+        if final.exists():
+            shutil.rmtree(final)  # crashed after rename, before pointer swap
+        tmp.rename(final)
+        ptr_tmp = root / f"{LEARNED_CURRENT}.tmp"
+        ptr_tmp.write_text(json.dumps({"snapshot": snap, "batch_id": batch_id}))
+        ptr_tmp.rename(root / LEARNED_CURRENT)  # atomic commit
+        for old in sorted(root.glob("v*"))[:-keep_snapshots]:
+            shutil.rmtree(old)
 
     return hook

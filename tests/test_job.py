@@ -82,3 +82,42 @@ def test_resume_revalidates_lineage(spark, transcripts, tmp_path):
     # same chunking -> all groups skip
     job3 = ExtractionJob(spark, path, out, groups=2)
     assert job3.completed_groups(job3.input_file_groups()) == {0, 1}
+
+
+def test_resume_revalidates_flags(spark, transcripts, tmp_path):
+    """A resume with different extraction flags (or a different learned
+    kamus) must re-run completed groups — skipping would mix two
+    configurations (epochs) in one output dataset."""
+    path, _ = transcripts
+    out = str(tmp_path / "out")
+    ExtractionJob(spark, path, out, groups=2).run()
+    same = ExtractionJob(spark, path, out, groups=2)
+    assert same.completed_groups(same.input_file_groups()) == {0, 1}
+    flipped = ExtractionJob(spark, path, out, groups=2, use_spelling=False)
+    assert flipped.completed_groups(flipped.input_file_groups()) == set()
+    # a learned kamus with the SAME word count but different words must
+    # also invalidate (content hash, not size)
+    ExtractionJob(spark, path, out, groups=2)  # baseline has no kamus
+    with_kamus = ExtractionJob(spark, path, out, groups=2)
+    with_kamus.extra_kamus = frozenset({"zzyqx"})
+    assert with_kamus.completed_groups(with_kamus.input_file_groups()) == set()
+
+
+def test_load_learned_resolves_versioned_pointer(spark, transcripts, tmp_path):
+    """--learned-words pointing at a streaming-accrued versioned table
+    resolves the _CURRENT snapshot pointer."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.streaming.extract_stream import learning_foreach_batch
+
+    learned = str(tmp_path / "learned_v")
+    batch = spark.createDataFrame(
+        [(["zzyqx"], "2026-01-01 00:00:00")] * 5,
+        "unknown_words array<string>, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    learning_foreach_batch(learned)(batch, 0)  # freq 5 -> auto-approved
+    path, _ = transcripts
+    job = ExtractionJob(
+        spark, path, str(tmp_path / "out"), learned_words_path=learned
+    )
+    assert job.extra_kamus == frozenset({"zzyqx"})

@@ -126,3 +126,55 @@ def test_s5_json_export_import_roundtrip(spark, tmp_path):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in learned.collect()
     }  # self-merge is the identity (max/or/least/greatest are idempotent)
+
+
+def test_s5_export_sink_and_reimport(spark, tmp_path):
+    """The full S5 export surface (routers/learning.py:184-248): sectioned
+    rows, version-header meta envelope, pending cap, approved_only variant,
+    and a lossless reimport through the S6 merge."""
+    import json
+
+    from ocr_spark.operators.learning import (
+        export_learned_words,
+        merge_import,
+        read_learned_export,
+        write_learned_export,
+    )
+
+    schema = (
+        "word string, frequency long, is_approved boolean, "
+        "first_seen timestamp, last_seen timestamp, approved_at timestamp"
+    )
+    rows = [("app%d" % i, 10 + i, True, T0, T0, T0) for i in range(3)] + [
+        ("pend%d" % i, 5 - i % 5, False, T0, T0, None) for i in range(8)
+    ]
+    learned = spark.createDataFrame(rows, schema)
+
+    # pending cap honours (frequency desc, word asc)
+    capped = export_learned_words(learned, pending_limit=2).collect()
+    pend = [r["word"] for r in capped if r["section"] == "pending"]
+    assert pend == ["pend0", "pend5"]  # both freq 5; word tie-break
+    assert len([r for r in capped if r["section"] == "approved"]) == 3
+
+    out = str(tmp_path / "s5")
+    meta = write_learned_export(learned, out, export_date="2026-08-17T00:00:00")
+    assert meta["version"] == "1.0" and meta["export_type"] == "full"
+    assert meta["approved_count"] == 3 and meta["pending_count"] == 8
+    on_disk = json.loads((tmp_path / "s5" / "_meta.json").read_text())
+    assert on_disk == meta
+
+    # round-trip: reimport == original (modulo column order), merge no-op
+    imported = read_learned_export(spark, out)
+    assert {tuple(r) for r in imported.select(*learned.columns).collect()} == {
+        tuple(r) for r in learned.collect()
+    }
+    merged = merge_import(learned, imported)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in learned.collect()}
+
+    # approved_only variant
+    write_learned_export(
+        learned, str(tmp_path / "s5a"), export_date="x", approved_only=True
+    )
+    meta_a = json.loads((tmp_path / "s5a" / "_meta.json").read_text())
+    assert meta_a["export_type"] == "approved_only"
+    assert meta_a["total_words"] == meta_a["approved_count"] == 3

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pathlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from data.synth import make_rows, write_table
 from ocr_spark.operators.extraction import extract_turns
@@ -116,6 +117,8 @@ def test_stream_dedup_within_watermark(spark, stream_input, tmp_path):
 
 
 def test_foreach_batch_learning(spark, stream_input, tmp_path):
+    from ocr_spark.streaming.extract_stream import read_learned_table
+
     learned = str(tmp_path / "learned")
     stream = extract_stream(read_transcript_stream(spark, stream_input))
     q = (
@@ -125,7 +128,54 @@ def test_foreach_batch_learning(spark, stream_input, tmp_path):
         .start()
     )
     _drain(q)
-    table = spark.read.parquet(learned)
+    table = read_learned_table(spark, learned)
     assert table.count() > 0
     cols = set(table.columns)
     assert {"word", "frequency", "is_approved", "first_seen", "last_seen"} <= cols
+
+
+def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running an already-applied
+    batch_id must NOT re-add frequencies (the exactly-once claim)."""
+    from ocr_spark.streaming.extract_stream import read_learned_table
+
+    learned = str(tmp_path / "learned_replay")
+    hook = learning_foreach_batch(learned)
+    batch = spark.createDataFrame(
+        [(["zzyqx"], "2026-01-01 00:00:00")],
+        "unknown_words array<string>, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hook(batch, 0)
+    freq0 = {r["word"]: r["frequency"] for r in read_learned_table(spark, learned).collect()}
+    hook(batch, 0)  # crash-replay of the same micro-batch
+    freq1 = {r["word"]: r["frequency"] for r in read_learned_table(spark, learned).collect()}
+    assert freq0 == freq1 == {"zzyqx": 1}
+    hook(batch, 1)  # a genuinely new micro-batch DOES accrue
+    freq2 = {r["word"]: r["frequency"] for r in read_learned_table(spark, learned).collect()}
+    assert freq2 == {"zzyqx": 2}
+
+
+def test_foreach_batch_large_vocab_no_driver_materialization(spark, tmp_path):
+    """10^5-word vocabulary accrues through the snapshot protocol (no
+    collect); two batches sum frequencies for the overlap."""
+    from ocr_spark.streaming.extract_stream import read_learned_table
+
+    learned = str(tmp_path / "learned_big")
+    hook = learning_foreach_batch(learned)
+
+    def batch(lo, hi):
+        # digits -> letters: the learning validity gate rejects digit words
+        word = F.concat(
+            F.lit("word"),
+            F.translate(F.col("id").cast("string"), "0123456789", "abcdefghij"),
+        )
+        return spark.range(lo, hi).select(
+            F.array(word).alias("unknown_words"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+
+    hook(batch(0, 100_000), 0)
+    hook(batch(50_000, 150_000), 1)
+    table = read_learned_table(spark, learned)
+    assert table.count() == 150_000
+    assert table.filter("frequency = 2").count() == 50_000
