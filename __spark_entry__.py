@@ -679,14 +679,14 @@ def _pdf_layout(spark, sf_dir):
 def _full_pipeline(spark, sf_dir):
     """The composed production path: block-classify each document's text
     (boilerplate strip) THEN run the OCR-correction/scoring core on the
-    extracted main content — one narrow chain of two Arrow UDFs, no
-    shuffle. Rows-only (composition of two non-SQL-expressible stages)."""
-    from ocr_spark.operators.boilerplate import strip_boilerplate
-    from ocr_spark.operators.extraction import extract_turns
+    extracted main content — ONE fused Arrow UDF (a single JVM↔Python
+    crossing; the intermediate content_text never re-enters the JVM), no
+    shuffle. Rows-only (composition of two non-SQL-expressible stages);
+    fused≡unfused parity is pytest-gated."""
+    from ocr_spark.operators.extraction import extract_content_turns
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    content = strip_boilerplate(docs).select("doc_id", "content_text", "n_blocks")
-    out = extract_turns(content, text_col="content_text")
+    out = extract_content_turns(docs)
     return out.select(
         "doc_id",
         "n_blocks",

@@ -132,6 +132,88 @@ def make_extract_udf(
     return extract
 
 
+#: fused boilerplate-strip + extraction output (block counters + content
+#: spans, then the full extraction struct fields)
+CONTENT_EXTRACT_SCHEMA = StructType(
+    [
+        StructField("content_text", StringType()),
+        StructField(
+            "content_spans",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("start", IntegerType()),
+                        StructField("end", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("n_blocks", IntegerType()),
+        StructField("n_content_blocks", IntegerType()),
+        StructField("n_boilerplate_blocks", IntegerType()),
+        StructField("content_words", IntegerType()),
+    ]
+    + list(EXTRACT_SCHEMA.fields)
+)
+
+_CONTENT_EXTRACT_COLS = tuple(f.name for f in CONTENT_EXTRACT_SCHEMA.fields)
+
+
+def make_content_extract_udf(
+    use_dictionary: bool = True,
+    use_spelling: bool = True,
+    fuzzy: bool = False,
+    extra_kamus: frozenset | None = None,
+):
+    """Fused block-classification + extraction UDF: strip boilerplate and
+    run the correction/scoring core on the extracted main content in ONE
+    JVM↔Python crossing. The unfused composition (strip_boilerplate →
+    extract_turns) pays the Arrow exchange twice and round-trips the
+    intermediate content_text through the JVM; fusing halves the
+    Python-exchange cost of the production path."""
+
+    @pandas_udf(CONTENT_EXTRACT_SCHEMA)
+    def run(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.functions.blocks import extract_main_content
+        from ocr_spark.functions.textops import extract_turn
+
+        for texts in batches:
+            cols: dict[str, list] = {name: [] for name in _CONTENT_EXTRACT_COLS}
+            for t in texts:
+                c = extract_main_content(t if isinstance(t, str) else None)
+                cols["content_text"].append(c["content_text"])
+                cols["content_spans"].append(
+                    [{"start": s, "end": e} for s, e in c["content_spans"]]
+                )
+                for k in (
+                    "n_blocks",
+                    "n_content_blocks",
+                    "n_boilerplate_blocks",
+                    "content_words",
+                ):
+                    cols[k].append(c[k])
+                x = extract_turn(
+                    c["content_text"],
+                    use_dictionary=use_dictionary,
+                    use_spelling=use_spelling,
+                    fuzzy=fuzzy,
+                    extra_kamus=extra_kamus,
+                )
+                for k in _OUT_COLS:
+                    if k == "spans":
+                        cols[k].append(
+                            [
+                                {"start": s, "end": e, "kind": kind}
+                                for (s, e, kind) in x[k]
+                            ]
+                        )
+                    else:
+                        cols[k].append(x[k])
+            yield pd.DataFrame(cols, columns=list(_CONTENT_EXTRACT_COLS))
+
+    return run
+
+
 def make_extract_udf_with_confidence(
     use_dictionary: bool = True,
     use_spelling: bool = True,

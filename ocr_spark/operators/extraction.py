@@ -60,6 +60,40 @@ def extract_turns(
     return out.drop("_x")
 
 
+#: columns added by extract_content_turns (fused pipeline)
+CONTENT_EXTRACT_COLUMNS = [
+    "content_text",
+    "content_spans",
+    "n_blocks",
+    "n_content_blocks",
+    "n_boilerplate_blocks",
+    "content_words",
+] + OUTPUT_COLUMNS
+
+
+def extract_content_turns(
+    df: DataFrame,
+    text_col: str = "text",
+    use_dictionary: bool = True,
+    use_spelling: bool = True,
+    fuzzy: bool = False,
+    extra_kamus: frozenset | None = None,
+) -> DataFrame:
+    """The composed production path — boilerplate strip THEN the
+    correction/scoring core on the extracted main content — as ONE fused
+    Arrow UDF, so each document crosses the JVM↔Python boundary once
+    instead of twice (the intermediate content_text never returns to the
+    JVM). Narrow, no shuffle; equals strip_boilerplate→extract_turns
+    column-for-column (tested)."""
+    from ocr_spark.functions.udfs import make_content_extract_udf
+
+    udf = make_content_extract_udf(use_dictionary, use_spelling, fuzzy, extra_kamus)
+    out = df.withColumn("_cx", udf(F.col(text_col)))
+    for name in CONTENT_EXTRACT_COLUMNS:
+        out = out.withColumn(name, F.col(f"_cx.{name}"))
+    return out.drop("_cx")
+
+
 def page_header(idx: Column) -> Column:
     """'--- Halaman {i+1} ---' header (reference ocr_service.py:598-601)."""
     return F.concat(F.lit("--- Halaman "), (idx + 1).cast("string"), F.lit(" ---"))

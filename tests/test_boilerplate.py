@@ -106,6 +106,37 @@ def test_spark_strip_boilerplate(spark):
     assert "Exchange" not in plan  # narrow
 
 
+def test_fused_content_extract_matches_composition(spark):
+    """extract_content_turns (one fused Arrow UDF) must equal the two-stage
+    strip_boilerplate → extract_turns composition column-for-column."""
+    from ocr_spark.operators.boilerplate import strip_boilerplate
+    from ocr_spark.operators.extraction import (
+        extract_content_turns,
+        extract_turns,
+    )
+
+    df = spark.createDataFrame(
+        [(0, HTML), (1, PLAIN), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    fused = {r["doc_id"]: r for r in extract_content_turns(df).collect()}
+    composed = {
+        r["doc_id"]: r
+        for r in extract_turns(
+            strip_boilerplate(df), text_col="content_text"
+        ).collect()
+    }
+    assert fused.keys() == composed.keys()
+    for doc_id, f in fused.items():
+        c = composed[doc_id]
+        for col in (
+            "content_text", "content_spans", "n_blocks", "n_content_blocks",
+            "n_boilerplate_blocks", "content_words", "extracted_text",
+            "normalized_text", "dictionary_corrections", "spelling_changes",
+            "quality", "unknown_words", "spans",
+        ):
+            assert f[col] == c[col], (doc_id, col)
+
+
 # ---------------------------------------------------------------------------
 # Layout
 # ---------------------------------------------------------------------------

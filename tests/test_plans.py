@@ -149,6 +149,28 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     assert joined.count() > 0
 
 
+def test_fused_pipeline_single_python_crossing(docs):
+    """The composed production path (boilerplate strip + extraction) must
+    cross the JVM↔Python boundary ONCE — two ArrowEvalPython nodes means
+    the fusion regressed and the Python exchange cost doubled."""
+    from ocr_spark.operators.boilerplate import strip_boilerplate
+    from ocr_spark.operators.extraction import (
+        extract_content_turns,
+        extract_turns,
+    )
+
+    fused = _plan(extract_content_turns(docs.select("doc_id", "text")))
+    assert fused.count("ArrowEvalPython") == 1
+    assert "Exchange" not in fused  # still narrow
+    unfused = _plan(
+        extract_turns(
+            strip_boilerplate(docs.select("doc_id", "text")),
+            text_col="content_text",
+        )
+    )
+    assert unfused.count("ArrowEvalPython") == 2  # what fusion removes
+
+
 def test_textstats_stay_jvm_side(docs):
     from ocr_spark.operators.textstats import with_lang_id, with_quality
 
