@@ -962,6 +962,17 @@ FROM documents
 """
 
 
+def _bpe_token_counts(spark, sf_dir):
+    """Exact BPE token counts via the vendored merges table. Rows-only:
+    BPE's iterative merge application is not SQL-expressible — exact counts
+    on fixed inputs plus engine-vs-local equality are pytest-pinned
+    (tests/test_textstats.py); n_bpe ≤ n_chars+words sanity here."""
+    from ocr_spark.operators.textstats import with_bpe_token_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_bpe_token_counts(docs).select("doc_id", "n_bpe")
+
+
 def _fingerprints(spark, sf_dir):
     from ocr_spark.operators.textstats import with_fingerprint
 
@@ -1089,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": _lang_id_counts,
         "doc_quality": _doc_quality,
         "token_counts": _token_counts,
+        "bpe_token_counts": _bpe_token_counts,
         "fingerprints": _fingerprints,
         # relational breadth
         "q1_pricing": _q1_pricing,

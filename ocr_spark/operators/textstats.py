@@ -9,7 +9,9 @@ ratio scoring) to the generic training-data-curation setting.
 Everything here is **pure built-in column expressions** — no Python UDFs, no
 shuffle (all narrow per-row transforms), whole-stage-codegen friendly — so
 the operators scale linearly with input splits: at 100 TB these run at scan
-speed and the only cost is the parquet read itself.
+speed and the only cost is the parquet read itself. The one exception is
+:func:`with_bpe_token_counts` (exact BPE is inherently iterative), which is
+an Arrow-batched pandas UDF with per-word-type memoization.
 
 Determinism contract: every function has an exact ANSI-SQL re-expression
 (used as the DuckDB oracle in ``__spark_entry__.py``) — same regexes, same
@@ -17,8 +19,13 @@ word lists, same rounding.
 """
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
 
 #: the word regex shared with the reference's scoring/unknown-word extraction
 #: (scoring_service.py:71, dictionary_corrector.py:226)
@@ -47,7 +54,8 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     ``n_tokens``: regex word tokens; ``n_ws_tokens``: whitespace-split count
     (BPE-ish upper bound ``n_bpe_est`` = ceil(chars/4), the common
-    chars-per-token rule of thumb, as a cheap budget estimator).
+    chars-per-token rule of thumb, as a cheap SQL-expressible estimator —
+    :func:`with_bpe_token_counts` is the exact counter).
     """
     return df.select(
         "*",
@@ -57,6 +65,30 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("n_ws_tokens"),
         F.ceil(F.length(text_col) / 4).cast("long").alias("n_bpe_est"),
     )
+
+
+def with_bpe_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """EXACT BPE token count per document (``n_bpe``) using the vendored
+    merges table (functions/bpe.py) — the real budget tool the
+    ``n_bpe_est = ceil(chars/4)`` heuristic in :func:`with_token_stats`
+    stands in for. Arrow-batched pandas UDF (BPE application is inherently
+    iterative — not expressible in built-in column functions); the encoder
+    memoizes per word type, so Zipfian corpora count at dict-hit speed.
+    Narrow, no shuffle; deterministic on every engine/partitioning (merge
+    application order is rank-based, pinned in tests/test_textstats.py)."""
+
+    @pandas_udf(IntegerType())
+    def bpe_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from ocr_spark.functions.bpe import vendored
+
+        enc = vendored()  # loads once per Python worker (lru_cache)
+        for texts in batches:
+            yield pd.Series(
+                [enc.count(t if isinstance(t, str) else None) for t in texts],
+                dtype="int32",
+            )
+
+    return df.withColumn("n_bpe", bpe_count(F.col(text_col)))
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -51,6 +51,62 @@ def test_quality_bounds_and_monotonicity(docs):
     assert rows[3]["quality_score"] == 0
 
 
+def test_bpe_train_deterministic_and_exact():
+    from ocr_spark.functions.bpe import BPE, train_bpe
+
+    corpus = ["low lower lowest", "low lower", "newer newest new"] * 3
+    m1, m2 = train_bpe(corpus, 30), train_bpe(corpus, 30)
+    assert m1 == m2  # deterministic incl. tie-breaks
+    bpe = BPE(m1)
+    # counting invariants rather than hand-derived merges: encode/count
+    # agree, the empty/None cases are 0, and merges actually compress
+    assert bpe.count("") == 0 and bpe.count(None) == 0
+    assert bpe.count("low") == len(bpe.encode("low"))
+    assert bpe.count("low low") == 2 * bpe.count("low")
+    assert bpe.count("lower") < len("lower") + 1  # merged below char count
+    # round-trip through the serialized table
+    assert BPE.loads(bpe.dumps()).count("lowest newer") == bpe.count(
+        "lowest newer"
+    )
+    # unseen characters fall back to char-level (+ EOW), never fail
+    assert bpe.count("日本") == 3
+
+
+def test_bpe_vendored_table_pins_exact_counts():
+    """Exact counts on fixed inputs against the committed merges table —
+    regenerating the table (tools/train_bpe.py) on different data breaks
+    this on purpose."""
+    from ocr_spark.functions.bpe import vendored
+
+    enc = vendored()
+    assert len(enc.merges) == 106
+    # corpus words compress well; unseen words degrade toward char-level
+    assert enc.count("key agg row scan") == 4
+    assert enc.count("table value part hash") <= 8
+    zz = enc.count("zzz")
+    assert zz == 4  # 3 chars + EOW, no merges apply
+
+
+def test_bpe_spark_operator_matches_local(spark):
+    from ocr_spark.functions.bpe import vendored
+    from ocr_spark.operators.textstats import with_bpe_token_counts
+
+    texts = [
+        "key agg row scan slow fast",
+        "completely unseen wording here",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_bpe"] for r in with_bpe_token_counts(df).collect()}
+    enc = vendored()
+    assert got == {i: enc.count(t) for i, t in enumerate(texts)}
+    plan = with_bpe_token_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "Exchange" not in plan
+
+
 def test_fingerprint_normalization_invariance(spark):
     df = spark.createDataFrame(
         [
