@@ -861,6 +861,45 @@ SELECT DISTINCT id_a, id_b, cos FROM scored WHERE cos >= 0.4
 # ---------------------------------------------------------------------------
 
 
+def _media_image_features(spark, sf_dir):
+    """M1 with REAL codecs (stdlib PNG/BMP/PPM decode — functions/
+    codecs.py) over deterministically synthesized real payloads; the
+    JPEG-magic rows pin the NULL-feature behavior for formats that truly
+    need native libs. Rows-only (binary decode is not SQL-expressible);
+    exact feature values are pytest-pinned in tests/test_multimodal.py."""
+    from ocr_spark.operators.multimodal import (
+        extract_image_features,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(spark, n=60)
+    feats = extract_image_features(media, decode="real")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.col("feature").isNotNull().alias("decoded"),
+    )
+
+
+def _media_audio_features(spark, sf_dir):
+    """M1 audio: REAL stdlib WAV decode — duration/RMS/zero-crossing rate;
+    non-audio payloads yield NULL features. Rows-only + pytest."""
+    from ocr_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(spark, n=60)
+    return extract_audio_features(media, decode="real").select(
+        "media_id",
+        "duration_ms",
+        "sample_rate",
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+    )
+
+
 def _lang_id_counts(spark, sf_dir):
     from ocr_spark.operators.textstats import with_lang_id
 
@@ -1096,6 +1135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_np": _ann_cosine_topk_np,
         "ann_lsh_topk": _ann_lsh_topk,
         "embedding_near_dup": _embedding_near_dup,
+        # multimodal (real stdlib codecs)
+        "media_image_features": _media_image_features,
+        "media_audio_features": _media_audio_features,
         # text analysis
         "lang_id_counts": _lang_id_counts,
         "doc_quality": _doc_quality,

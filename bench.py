@@ -30,12 +30,15 @@ HEADLINE = [
     "exact_dedup",
     "minhash_near_dup",
     "jaccard_near_dup",
+    "dedup_clusters",
     "simhash",
+    "simhash_near_dup",
     "decontaminate",
     "ann_cosine_topk",
     "embedding_near_dup",
     "lang_id_counts",
     "doc_quality",
+    "bpe_token_counts",
     "fingerprints",
     "q1_pricing",
     "q3_nation_revenue",

@@ -274,6 +274,8 @@ def jaccard_near_duplicates(
         ).select("id", "sh", F.size("sh").alias("n_sh"))
         ex = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
     else:
+        from pyspark.sql import Window
+
         ex0 = df.select(F.col(id_col).alias("id"), ids.alias("sh")).select(
             "id", F.explode("sh").alias("shingle")
         )
@@ -284,8 +286,13 @@ def jaccard_near_duplicates(
             .select("shingle")
         )
         kept = ex0.join(F.broadcast(hot), "shingle", "left_anti")
-        sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-        ex = kept.join(sizes, "id").select("id", "n_sh", "shingle")
+        # capped per-doc set size as a window count — ONE shuffle of the
+        # exploded data (vs groupBy+join = two) before the pair join
+        ex = kept.select(
+            "id",
+            F.count(F.lit(1)).over(Window.partitionBy("id")).alias("n_sh"),
+            "shingle",
+        )
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -504,6 +511,11 @@ def connected_components(
     of a change-count join. ``localCheckpoint`` truncates the iterative
     lineage each pass (swap for reliable ``checkpoint`` on a real cluster
     where executor loss must not restart the whole loop)."""
+    # materialize the pair list ONCE: edges and labels consume it in four
+    # subtrees and the propagation loop re-reads edges every iteration —
+    # without this the (possibly expensive) pair-generation pipeline would
+    # re-execute per iteration
+    pairs = pairs.select(id_a, id_b).localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

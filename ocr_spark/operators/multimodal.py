@@ -1,19 +1,20 @@
-"""Multimodal (image/audio/video) columns: schema, plumbing, stubbed codecs.
+"""Multimodal (image/audio/video) columns: schema, plumbing, real codecs.
 
 Treats media as opaque ``binary`` payloads with a typed metadata struct,
 exactly how a 100 TB training-data lake stores them (parquet binary columns
 or ``binaryFile``-sourced blobs + sidecar metadata). All Spark-side
 machinery is real and tested — schemas, ``mapInPandas`` batch iteration,
-Arrow batch sizing, partition-preserving narrow execution; only the
-pixel/sample codecs are stubs because no image/audio libraries exist in
-this container:
+Arrow batch sizing, partition-preserving narrow execution — and so are the
+codecs for every format decodable without external libraries:
 
-* ``decode=\"fake\"`` (default) — deterministic synthetic features derived
-  from the payload bytes (md5-seeded), so tests pin exact values and the
-  full pipeline is exercised end-to-end.
-* ``decode=\"real\"`` — raises ``NotImplementedError`` at the first batch
-  with instructions; a deployment drops cv2/PIL/librosa calls into the
-  marked seam without touching any plumbing.
+* ``decode=\"real\"`` — stdlib codecs (functions/codecs.py): PNG/BMP/PPM
+  images (decode, resize, re-encode) and PCM WAV audio. Formats that
+  genuinely need native libraries (JPEG, video containers) yield NULL
+  features / pass-through payloads instead of failing the job; the video
+  frame-sampler keeps a marked ffmpeg seam.
+* ``decode=\"fake\"`` — deterministic synthetic features derived from the
+  payload bytes (md5-seeded): format-agnostic plumbing tests and benches
+  that want zero codec cost.
 
 Scale notes: ``mapInPandas`` keeps the operator narrow (no shuffle);
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory for
@@ -98,13 +99,14 @@ def extract_image_features(
     narrow). Input needs (media_id, payload); output IMAGE_FEATURES_SCHEMA."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode == "real":
+            from ocr_spark.functions.codecs import (
+                UnsupportedMediaError,
+                decode_image,
+                mean_luma,
+                rgb_histogram_feature,
+            )
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real image decode requires cv2/PIL (absent in this "
-                    "container); implement decode here — the batch shape, "
-                    "schema, and partitioning are already correct"
-                )
             out = {
                 "media_id": pdf["media_id"],
                 "n_bytes": pdf["payload"].map(
@@ -113,7 +115,19 @@ def extract_image_features(
             }
             feats, lumas = [], []
             for p in pdf["payload"]:
-                f, l = _fake_features(bytes(p) if p is not None else b"")
+                raw = bytes(p) if p is not None else b""
+                if decode == "real":
+                    # real decode (stdlib codecs: PNG/BMP/PPM). Undecodable
+                    # formats (e.g. JPEG — needs libjpeg) surface as NULL
+                    # features rather than failing the whole 100 TB job;
+                    # count nulls downstream to audit coverage.
+                    try:
+                        img = decode_image(raw)
+                        f, l = rgb_histogram_feature(img), mean_luma(img)
+                    except (UnsupportedMediaError, ValueError):
+                        f, l = None, None
+                else:
+                    f, l = _fake_features(raw)
                 feats.append(f)
                 lumas.append(l)
             out["feature"] = pd.Series(feats, index=pdf.index)
@@ -142,11 +156,48 @@ def resize_images(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real resize requires an image library; implement here"
+        if decode == "real":
+            from ocr_spark.functions.codecs import (
+                UnsupportedMediaError,
+                decode_image,
+                encode_png,
+                resize_nearest,
+            )
+
+            for pdf in batches:
+                ids, payloads, ws, hs = [], [], [], []
+                for mid, payload, width, height in zip(
+                    pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+                ):
+                    raw = bytes(payload) if payload is not None else b""
+                    try:
+                        img = decode_image(raw)
+                        small = resize_nearest(img, max_dim)
+                        # undecodable or already-in-bounds -> pass-through is
+                        # handled below; real resize re-encodes as PNG with
+                        # dims from the PIXELS (meta may lie; decode doesn't)
+                        payloads.append(
+                            encode_png(small) if small.shape != img.shape else raw
+                        )
+                        hs.append(int(small.shape[0]))
+                        ws.append(int(small.shape[1]))
+                    except (UnsupportedMediaError, ValueError):
+                        # mirror of the reference's resize-failure fallback
+                        # (ocr_service.py:36-40): keep the original payload
+                        payloads.append(raw)
+                        ws.append(0 if pd.isna(width) else int(width))
+                        hs.append(0 if pd.isna(height) else int(height))
+                    ids.append(mid)
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "payload_resized": payloads,
+                        "width": ws,
+                        "height": hs,
+                    }
                 )
+            return
+        for pdf in batches:
             ids, payloads, ws, hs = [], [], [], []
             # column-wise zip, not iterrows — iterrows builds a Series per
             # row (the slow path a real codec loop must not inherit)
@@ -191,7 +242,11 @@ def sample_frames(
         for pdf in batches:
             if decode == "real":
                 raise NotImplementedError(
-                    "real frame extraction requires ffmpeg/cv2; implement here"
+                    "video containers (mp4/H.264) genuinely require "
+                    "ffmpeg/cv2, which this environment lacks — unlike the "
+                    "image (PNG/BMP/PPM) and audio (WAV) paths, which ARE "
+                    "real here (functions/codecs.py); drop an ffmpeg call "
+                    "into this seam, the fan-out plumbing is unchanged"
                 )
             rows = []
             for mid, payload, duration_ms in zip(
@@ -219,6 +274,101 @@ def sample_frames(
     return df.select(
         "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
     ).mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossing_rate", DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, decode: str = "real") -> DataFrame:
+    """Audio feature extraction (duration / RMS energy / zero-crossing
+    rate) via ``mapInPandas``. The REAL path decodes PCM WAV with the
+    stdlib codec (functions/codecs.py) — no stub needed; non-WAV payloads
+    yield NULL features. ``decode='fake'`` derives deterministic values
+    from the payload digest for format-agnostic plumbing tests."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.functions.codecs import (
+            UnsupportedMediaError,
+            audio_features,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if decode == "real":
+                    try:
+                        af = audio_features(raw)
+                    except (UnsupportedMediaError, ValueError):
+                        af = None  # non-WAV payload -> NULL features
+                else:
+                    digest = hashlib.md5(raw).digest()
+                    af = {
+                        "duration_ms": digest[0] * 100,
+                        "sample_rate": 16000,
+                        "rms": digest[1] / 255.0,
+                        "zero_crossing_rate": digest[2] / 255.0,
+                    }
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "duration_ms": af["duration_ms"] if af else None,
+                        "sample_rate": af["sample_rate"] if af else None,
+                        "rms": af["rms"] if af else None,
+                        "zero_crossing_rate": af["zero_crossing_rate"] if af else None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "duration_ms", "sample_rate", "rms",
+                    "zero_crossing_rate",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def synthesize_real_media(spark, n: int = 48, seed: int = 13) -> DataFrame:
+    """Deterministic media table with REAL payloads — PNG/BMP-style images
+    and PCM WAV audio produced by the stdlib encoders — so the
+    ``decode='real'`` paths are exercised end-to-end in-sandbox (no
+    external data). Every third row is a JPEG-magic payload to pin the
+    null-feature behavior for genuinely unsupported formats."""
+    import numpy as np
+
+    from ocr_spark.functions.codecs import encode_png, encode_ppm, encode_wav
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        kind = ["image", "audio", "jpeg"][i % 3]
+        if kind == "image":
+            h, w = 8 + (i % 5) * 4, 6 + (i % 7) * 4
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_png(img) if i % 2 == 0 else encode_ppm(img)
+            meta = ("image", "png" if i % 2 == 0 else "ppm", w, h, None, None)
+        elif kind == "audio":
+            rate = 8000
+            t = np.arange(rate // 4) / rate  # 250 ms
+            sig = 0.4 * np.sin(2 * np.pi * (220 + 20 * (i % 8)) * t)
+            payload = encode_wav(sig, rate)
+            meta = ("audio", "wav", None, None, 250, rate)
+        else:  # undecodable without libjpeg — exercises the null path
+            payload = b"\xff\xd8\xff\xe0" + bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+            meta = ("image", "jpg", 10, 10, None, None)
+        rows.append((i, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 13) -> DataFrame:

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ocr_spark.operators.multimodal import (
     FRAME_SCHEMA,
     IMAGE_FEATURES_SCHEMA,
+    MEDIA_SCHEMA,
     extract_image_features,
     resize_images,
     sample_frames,
@@ -43,12 +44,79 @@ def test_image_features_schema_and_determinism(media):
         assert 0.0 <= r["mean_luma"] <= 1.0
 
 
-def test_real_decode_seam_raises(media):
-    with pytest.raises(Exception) as ei:
-        extract_image_features(media, decode="real").collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
+def test_real_decode_nulls_for_undecodable(media):
+    """The synthetic random payloads are not valid images: the real path
+    yields NULL features (job survives), never raises."""
+    rows = extract_image_features(media, decode="real").collect()
+    assert rows and all(r["feature"] is None for r in rows)
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    from ocr_spark.operators.multimodal import synthesize_real_media
+
+    return synthesize_real_media(spark, n=24)
+
+
+def test_real_image_features_match_local_codec(real_media):
+    from ocr_spark.functions.codecs import (
+        decode_image,
+        mean_luma,
+        rgb_histogram_feature,
     )
+
+    out = {
+        r["media_id"]: r
+        for r in extract_image_features(real_media, decode="real").collect()
+    }
+    src = {r["media_id"]: r for r in real_media.collect()}
+    for mid, r in out.items():
+        kind = src[mid]["meta"]["format"]
+        if kind in ("png", "ppm"):
+            img = decode_image(bytes(src[mid]["payload"]))
+            assert r["feature"] == pytest.approx(rgb_histogram_feature(img))
+            assert r["mean_luma"] == pytest.approx(mean_luma(img))
+        else:  # wav + jpeg-magic rows are not decodable images
+            assert r["feature"] is None and r["mean_luma"] is None
+
+
+def test_real_resize_reencodes_png_with_pixel_dims(spark):
+    import numpy as np
+
+    from ocr_spark.functions.codecs import decode_image, encode_png
+    from ocr_spark.operators.multimodal import resize_images
+
+    img = np.arange(40 * 60 * 3, dtype=np.uint8).reshape(40, 60, 3)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_png(img)), ("image", "png", 60, 40, None, None))],
+        MEDIA_SCHEMA,
+    )
+    (row,) = resize_images(df, max_dim=30, decode="real").collect()
+    assert (row["width"], row["height"]) == (30, 20)
+    resized = decode_image(bytes(row["payload_resized"]))
+    assert resized.shape == (20, 30, 3)
+    # within-bounds images pass through byte-identical (no re-encode)
+    (row2,) = resize_images(df, max_dim=100, decode="real").collect()
+    assert bytes(row2["payload_resized"]) == bytes(encode_png(img))
+    assert (row2["width"], row2["height"]) == (60, 40)
+
+
+def test_real_audio_features(real_media):
+    from ocr_spark.operators.multimodal import extract_audio_features
+
+    out = {
+        r["media_id"]: r
+        for r in extract_audio_features(real_media, decode="real").collect()
+    }
+    src = {r["media_id"]: r for r in real_media.collect()}
+    for mid, r in out.items():
+        if src[mid]["meta"]["media_type"] == "audio":
+            assert r["duration_ms"] == 250 and r["sample_rate"] == 8000
+            # 0.4-amplitude sine: rms = 0.4/sqrt(2), zcr ~ 2f/rate
+            assert r["rms"] == pytest.approx(0.4 / 2**0.5, rel=0.01)
+            assert r["zero_crossing_rate"] > 0
+        else:
+            assert r["rms"] is None  # images are not decodable audio
 
 
 def test_resize_respects_cap(media):
