@@ -1091,6 +1091,149 @@ GROUP BY n_name
 """
 
 
+def _q5_region_volume(spark, sf_dir):
+    """TPC-H Q5-style multi-join chain: fact table joined through three
+    broadcast dimensions with a pushed-down region filter — exercises join
+    reordering + broadcast planning on the deepest join tree here."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT n_name, ROUND(sum(o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def _w1_top_orders_per_customer(spark, sf_dir):
+    """Window-function family: top-3 orders per customer by totalprice
+    (row_number over a partitioned ordered window, deterministic orderkey
+    tie-break). One shuffle on the partition key; the rank filter prunes
+    before the final projection."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+_W1_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+"""
+
+
+def _q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-then-semi-join — orders whose lineitem
+    quantity sum exceeds a threshold, joined back for the order columns.
+    The heavy side aggregates BEFORE the join (map-side partial), so the
+    join input is pre-shrunk — the shape that matters at fact-table scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return orders.join(
+        big, orders["o_orderkey"] == big["l_orderkey"]
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "sum_qty",
+    )
+
+
+_Q18_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, ROUND(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(sum(l_quantity), 2) > 150
+) ON o_orderkey = l_orderkey
+"""
+
+
+def _t8_assembled_docs(spark, sf_dir):
+    """T8 with the reference's page headers (ocr_service.py:594-609): each
+    user's events reassembled into one document under stable (ts, event_id)
+    ordering, '--- Halaman {i} ---' header per unit, blank-line joined —
+    the full assembly path as an exact oracle (not just the journey
+    string)."""
+    from ocr_spark.operators.extraction import assemble_conversations
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"),
+        # per-user ordinal as the turn index: events carry no turn_idx
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("normalized_text"),
+        "ts",
+    )
+    out = assemble_conversations(ev)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.length("document").alias("doc_len"),
+        F.md5("document").alias("doc_hash"),
+        "n_turns",
+    )
+
+
+_T8_ASSEMBLED_SQL = """
+SELECT user_id, CAST(length(doc) AS INT) AS doc_len, md5(doc) AS doc_hash,
+       n_turns
+FROM (
+  SELECT user_id,
+         string_agg('--- Halaman ' || CAST(event_id + 1 AS VARCHAR) || ' ---'
+                      || chr(10) || event_type,
+                    chr(10) || chr(10) ORDER BY event_id) AS doc,
+         CAST(count(*) AS BIGINT) AS n_turns
+  FROM events
+  WHERE event_type IS NOT NULL AND length(trim(event_type)) > 0
+  GROUP BY user_id
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface.
 # ---------------------------------------------------------------------------
@@ -1119,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_export": _s5_export,
         "s6_import_merge": _s6_import_merge,
         "t8_event_sessions": _t8_event_sessions,
+        "t8_assembled_docs": _t8_assembled_docs,
         "j2_unknown_antijoin": _j2_unknown_antijoin,
         # dedup family
         "exact_dedup": _exact_dedup,
@@ -1147,6 +1291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational breadth
         "q1_pricing": _q1_pricing,
         "q3_nation_revenue": _q3_nation_revenue,
+        "q5_region_volume": _q5_region_volume,
+        "q18_large_orders": _q18_large_orders,
+        "w1_top_orders_per_customer": _w1_top_orders_per_customer,
     }
 
 
@@ -1172,6 +1319,7 @@ def oracle_sql() -> dict[str, str]:
         "s5_export": _s5_sql(),
         "s6_import_merge": _s6_sql(),
         "t8_event_sessions": _T8_SQL,
+        "t8_assembled_docs": _T8_ASSEMBLED_SQL,
         "j2_unknown_antijoin": _J2_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "minhash_signatures": _MINHASH_SQL,
@@ -1192,4 +1340,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _FINGERPRINT_SQL,
         "q1_pricing": _Q1_SQL,
         "q3_nation_revenue": _Q3_SQL,
+        "q5_region_volume": _Q5_SQL,
+        "q18_large_orders": _Q18_SQL,
+        "w1_top_orders_per_customer": _W1_SQL,
     }

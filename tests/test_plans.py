@@ -149,6 +149,28 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     assert joined.count() > 0
 
 
+def test_window_topk_single_shuffle(spark):
+    """w1 (top-3 per customer): exactly one Exchange (the partition-key
+    shuffle) and the rank filter applied inside the Window stage — a
+    second shuffle or a post-collect filter would not scale."""
+    import __spark_entry__ as e
+
+    df = e.queries()["w1_top_orders_per_customer"](spark, SF)
+    plan = _plan(df)
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_q5_broadcast_chain(spark):
+    """q5's three dimension joins must all broadcast — any SortMergeJoin
+    in this tree shuffles the fact table once per dimension."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["q5_region_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
 def test_fused_pipeline_single_python_crossing(docs):
     """The composed production path (boilerplate strip + extraction) must
     cross the JVM↔Python boundary ONCE — two ArrowEvalPython nodes means
