@@ -137,16 +137,18 @@ def lsh_candidate_pairs(
     pairs (id_a < id_b), deduplicated across bands.
 
     The shuffle key is a fixed-width digest; bucket groups are small unless
-    documents truly collide, which is the point. The join is a same-key
-    equi-join AQE can handle even when one bucket is hot (skew-join split).
+    documents truly collide, which is the point. Physical shape: POSTING
+    LISTS — one groupBy on (band, bucket) collects member ids, then each
+    posting's i<j pairs come from an array expression. One shuffle of the
+    banded rows instead of a two-sided self-join (measured faster, same
+    pairs bit-for-bit).
 
     ``max_bucket_size`` is the hot-bucket cap: buckets holding more members
-    than the cap (boilerplate-identical bands — n² join rows each) are
-    dropped before the self-join, the standard LSH stop-bucket guard. Pairs
-    relying only on an over-cap bucket are lost (documented recall
-    trade-off); a bucket that big means the docs are near-identical and
-    will still collide in the other bands. The dropped buckets are a
-    groupBy-count + broadcast anti-join — no driver materialization."""
+    than the cap (boilerplate-identical bands — n² pair rows each) are
+    dropped before pair generation — a free posting-size filter, the
+    standard LSH stop-bucket guard. Pairs relying only on an over-cap
+    bucket are lost (documented recall trade-off); a bucket that big means
+    the docs are near-identical and will still collide in other bands."""
     bands = signatures.select(
         "id",
         F.posexplode(
@@ -171,20 +173,24 @@ def lsh_candidate_pairs(
             )
         ).alias("_pos", "bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    posting = bands.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
     if max_bucket_size is not None:
-        hot = (
-            bands.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket_size)
-            .select("band", "bucket")
+        posting = posting.filter(F.size("ids") <= max_bucket_size)
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
         )
-        bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        posting.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.*")
         .distinct()
     )
 
@@ -469,8 +475,10 @@ def simhash_near_duplicates(
     so ``n_blocks`` defaults to ``max_hamming + 1`` and a larger
     ``max_hamming`` is rejected rather than silently under-recalling.
 
-    ``bit_count(a ^ b)`` is a built-in (JVM codegen); the join key is a
-    ≤16-bit block value + index. Returns (id_a, id_b, hamming)."""
+    ``bit_count(a ^ b)`` is a built-in (JVM codegen); the bucket key is a
+    ≤16-bit block value + index, and pairs come from per-bucket posting
+    lists (one groupBy shuffle, no self-join — same shape as
+    :func:`lsh_candidate_pairs`). Returns (id_a, id_b, hamming)."""
     if n_blocks is None:
         n_blocks = max_hamming + 1
     if not max_hamming < n_blocks <= 64:
@@ -495,17 +503,28 @@ def simhash_near_duplicates(
             )
         ).alias("block_idx", "block_val"),
     )
-    a = with_blocks.alias("a")
-    b = with_blocks.alias("b")
-    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
-    return (
-        a.join(b, ["block_idx", "block_val"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.alias("hamming"),
+    posting = with_blocks.groupBy("block_idx", "block_val").agg(
+        F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("docs")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    F.bit_count(a["simhash"].bitwiseXOR(b["simhash"])).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
         )
+    )
+    return (
+        posting.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.*")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
