@@ -207,29 +207,72 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     signature-similarity verification (fraction of equal positions ≥
-    threshold). ``max_bucket_size`` forwards to the hot-bucket cap in
-    :func:`lsh_candidate_pairs`. Returns (id_a, id_b, sig_sim)."""
-    # cached because three subtrees consume it (banding + both join sides);
-    # ContextCleaner drops the cached data when the returned plan is GC'd —
-    # long-lived drivers sweeping many corpora should unpersist explicitly
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k).cache()
-    cands = lsh_candidate_pairs(sigs, n_bands, max_bucket_size)
-    a = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
-    b = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
-    sim = F.round(
+    threshold). ``max_bucket_size`` is the hot-bucket cap (see
+    :func:`lsh_candidate_pairs`). Returns (id_a, id_b, sig_sim).
+
+    Single-pass physical shape: the banded rows CARRY the signature into
+    the (band, bucket) posting lists, so verification happens inline in
+    the pair expression — one shuffle total, no signature re-join, no
+    ``.cache()`` (the signature subtree is consumed exactly once). A pair
+    colliding in several bands is verified once per collision and deduped
+    by the final distinct — cheaper than two shuffle joins as long as
+    signatures are short (they are: n_hashes longs)."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    bands = sigs.select(
+        "id",
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                b * (F.size("signature") / n_bands).cast("int") + 1,
+                                (F.size("signature") / n_bands).cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    posting = bands.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.struct("id", "signature"))).alias("docs")
+    )
+    if max_bucket_size is not None:
+        posting = posting.filter(F.size("docs") <= max_bucket_size)
+    sim = lambda a, b: F.round(  # noqa: E731
         F.size(
             F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                F.zip_with(a["signature"], b["signature"], lambda x, y: x == y),
                 lambda eq: eq,
             )
         )
-        / F.size("sig_a"),
+        / F.size(a["signature"]),
         6,
     )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    sim(a, b).alias("sig_sim"),
+                ),
+            ),
+        )
+    )
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", sim.alias("sig_sim"))
+        posting.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.*")
+        .distinct()
         .filter(F.col("sig_sim") >= threshold)
     )
 

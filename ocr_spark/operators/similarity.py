@@ -231,14 +231,22 @@ def embedding_near_duplicates(
             return df.sparkSession.createDataFrame([], empty)
         dim = len(probe[0][0])
     planes = hyperplanes(dim, n_planes, seed)
+    # per-row norm computed ONCE in the narrow stage — computing it inside
+    # the pair score would redo the O(dim) fold for every candidate pair
+    # (each row appears in ~bucket_size pairs); same floats, same rounding
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(_as_double(vec_col)).alias("n"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    cos = F.round(cosine(F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>")), 6)
+    cos = F.round(
+        dot(F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>"))
+        / (F.col("a.n") * F.col("b.n")),
+        6,
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("a.id") < F.col("b.id"))
