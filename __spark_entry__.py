@@ -882,6 +882,27 @@ def _media_image_features(spark, sf_dir):
     )
 
 
+def _t9_preprocess(spark, sf_dir):
+    """T9/T10 pixel preprocessing with REAL numpy operators (grayscale,
+    hist-EQ, thicken, unsharp, Otsu, projection-profile deskew) over
+    synthesized real images. Rows-only; algorithmic properties (Otsu on
+    bimodal, known-angle deskew recovery) are pytest-pinned."""
+    from ocr_spark.operators.multimodal import (
+        preprocess_images,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(spark, n=60)
+    out = preprocess_images(media)
+    return out.select(
+        "media_id",
+        "otsu_threshold",
+        F.round("deskew_angle", 3).alias("deskew_angle"),
+        F.round("ink_ratio", 6).alias("ink_ratio"),
+        F.col("processed").isNotNull().alias("decoded"),
+    )
+
+
 def _media_audio_features(spark, sf_dir):
     """M1 audio: REAL stdlib WAV decode — duration/RMS/zero-crossing rate;
     non-audio payloads yield NULL features. Rows-only + pytest."""
@@ -1279,9 +1300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_np": _ann_cosine_topk_np,
         "ann_lsh_topk": _ann_lsh_topk,
         "embedding_near_dup": _embedding_near_dup,
-        # multimodal (real stdlib codecs)
+        # multimodal (real stdlib codecs + numpy pixel ops)
         "media_image_features": _media_image_features,
         "media_audio_features": _media_audio_features,
+        "t9_preprocess": _t9_preprocess,
         # text analysis
         "lang_id_counts": _lang_id_counts,
         "doc_quality": _doc_quality,

@@ -276,6 +276,79 @@ def sample_frames(
     ).mapInPandas(run, FRAME_SCHEMA)
 
 
+PREPROCESS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("processed", BinaryType()),      # grayscale PNG
+        StructField("binary_mask", BinaryType()),    # Otsu binary PNG
+        StructField("otsu_threshold", IntegerType()),
+        StructField("deskew_angle", DoubleType()),
+        StructField("ink_ratio", DoubleType()),
+    ]
+)
+
+
+def preprocess_images(
+    df: DataFrame, enhance: bool = True, do_deskew: bool = True
+) -> DataFrame:
+    """T9/T10 (reference preprocess_gambar + _deskew_image,
+    ocr_service.py:43-224): grayscale → contrast enhance → text thicken →
+    unsharp → projection-profile deskew → Otsu binarize, re-expressed in
+    pure numpy (functions/imageops.py) over ``mapInPandas`` — REAL pixel
+    work, narrow, parallel per input split. Emits the processed grayscale
+    and binary mask as PNG payloads plus the measured threshold/angle;
+    undecodable payloads yield NULLs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.functions.codecs import (
+            UnsupportedMediaError,
+            decode_image,
+            encode_png,
+        )
+        from ocr_spark.functions.imageops import preprocess_document
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    img = decode_image(raw)
+                    out = preprocess_document(
+                        img, enhance=enhance, do_deskew=do_deskew
+                    )
+                    binary = out["binary"]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "processed": encode_png(out["gray"]),
+                            "binary_mask": encode_png(binary),
+                            "otsu_threshold": out["otsu_threshold"],
+                            "deskew_angle": out["deskew_angle"],
+                            "ink_ratio": float((binary == 0).mean()),
+                        }
+                    )
+                except (UnsupportedMediaError, ValueError):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "processed": None,
+                            "binary_mask": None,
+                            "otsu_threshold": None,
+                            "deskew_angle": None,
+                            "ink_ratio": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "processed", "binary_mask", "otsu_threshold",
+                    "deskew_angle", "ink_ratio",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, PREPROCESS_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
