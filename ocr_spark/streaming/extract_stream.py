@@ -135,6 +135,101 @@ def dedup_stream(
     return s.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
 
 
+def sessionize_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    with_headers: bool = True,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: assemble
+    each conversation's turns into one document, emitting when the
+    conversation has been silent for ``gap`` of EVENT time — the streaming
+    rendition of the batch page-order assembly
+    (operators/extraction.assemble_conversations; reference
+    ocr_service.py:594-609), with identical document text (parity-tested).
+
+    State per conv_id = the accumulated (turn_idx, text) list; an
+    event-time timeout at last_ts + gap fires once the watermark passes it,
+    so state is bounded by conversations active within the watermark
+    horizon — late turns inside the horizon still join their session;
+    beyond it the watermark has already sealed the document. This is the
+    operator shape (hand-managed state + timeout) that windowed aggs can't
+    express: output depends on per-group ORDER, not just counts."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = _duration_ms(gap)
+    out_schema = (
+        "conv_id string, document string, n_turns int, last_ts timestamp"
+    )
+    state_schema = "turns array<struct<i:int,t:string>>, last_ms long"
+
+    def assemble(turns: list) -> str:
+        units = []
+        for i, t in sorted(turns):
+            if t is None or not t.strip():
+                continue
+            if with_headers:
+                units.append(f"--- Halaman {i + 1} ---\n{t}")
+            else:
+                units.append(t)
+        return "\n\n".join(units)
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (turns, last_ms) = state.get
+            turns = [(int(s["i"]), s["t"]) for s in turns]
+            doc = assemble(turns)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "document": [doc],
+                    "n_turns": [sum(1 for _, t in turns if t and t.strip())],
+                    "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                }
+            )
+            return
+        turns = []
+        last_ms = 0
+        if state.exists:
+            prev_turns, last_ms = state.get
+            turns = list(prev_turns)
+        for pdf in pdfs:
+            for i, t, ts in zip(pdf["turn_idx"], pdf["text"], pdf["ts"]):
+                turns.append({"i": int(i), "t": t})
+                last_ms = max(last_ms, int(pd.Timestamp(ts).value // 10**6))
+        state.update((turns, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            {"conv_id": [], "document": [], "n_turns": [], "last_ts": []}
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(spec: str) -> int:
+    """'30 minutes' / '2 hours' / '90 seconds' -> milliseconds."""
+    n, unit = spec.split()
+    factor = {
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit]
+    return int(n) * factor
+
+
 #: pointer file naming the live snapshot of a versioned learned table
 LEARNED_CURRENT = "_CURRENT"
 

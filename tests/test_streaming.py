@@ -116,6 +116,69 @@ def test_stream_dedup_within_watermark(spark, stream_input, tmp_path):
     assert len(hashes) < n_in  # the synth corpus reuses texts -> real dedup
 
 
+def test_sessionize_stream_stateful_timeout(spark, tmp_path):
+    """applyInPandasWithState sessionization: a conversation emits once the
+    event-time watermark passes its last turn + gap; the emitted document
+    matches the batch assembler byte-for-byte."""
+    import os
+    import pandas as pd
+
+    from ocr_spark.operators.extraction import assemble_conversations
+    from ocr_spark.streaming.extract_stream import sessionize_stream
+
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["tool"] = pdf["tool"].astype("string")  # all-None else writes INT32
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark reads micros
+        p = str(d / name)
+        pdf.to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    h = 3600
+    write("part-000.parquet", [
+        ("A", 0, "user", "halo dunia", None, t0),
+        ("A", 2, "user", "akhir kata", None, t0 + pd.Timedelta(minutes=2)),
+        ("A", 1, "assistant", "jawaban di sini", None, t0 + pd.Timedelta(minutes=1)),
+    ], 1_000_000)
+    write("part-001.parquet", [
+        ("B", 0, "user", "percakapan lain", None, t0 + pd.Timedelta(hours=3)),
+    ], 1_000_000 + h)
+    write("part-002.parquet", [
+        ("C", 0, "user", "pendorong watermark", None, t0 + pd.Timedelta(hours=6)),
+    ], 1_000_000 + 2 * h)
+
+    stream = read_transcript_stream(spark, str(d), max_files_per_trigger=1)
+    q = (
+        sessionize_stream(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = {r["conv_id"]: r for r in spark.sql("SELECT * FROM sessions_out").collect()}
+    # A timed out (watermark passed 10:02 + 30min); C still active; B emits
+    # only if the final watermark (16:00 - 10min) passed 13:00+30min — it did
+    assert "A" in rows and "C" not in rows
+    assert rows["A"]["n_turns"] == 3
+    # byte parity with the batch assembler on the same turns
+    batch = spark.read.parquet(str(d / "part-000.parquet")).select(
+        "conv_id", "turn_idx", F.col("text").alias("normalized_text")
+    )
+    (expected,) = assemble_conversations(batch).collect()
+    assert rows["A"]["document"] == expected["document"]
+    assert "--- Halaman 2 ---" in rows["A"]["document"]  # ordered by turn_idx
+
+
 def test_foreach_batch_learning(spark, stream_input, tmp_path):
     from ocr_spark.streaming.extract_stream import read_learned_table
 
