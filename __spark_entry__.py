@@ -221,6 +221,49 @@ SELECT * FROM (
 """
 
 
+def _a3_key_stats(spark, sf_dir):
+    """A3 (db_service.py:176-193): total/active/revoked key counts + total
+    requests, with user_id as the key analog; active = used within 7 days
+    of the newest event."""
+    from ocr_spark.operators.metrics import key_stats
+
+    return key_stats(_t(spark, sf_dir, "events"))
+
+
+_A3_SQL = """
+WITH usage AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS requests_count, max(ts) AS last_used
+  FROM events GROUP BY user_id
+),
+bound AS (SELECT max(ts) AS max_ts FROM events)
+SELECT CAST(count(*) AS BIGINT) AS total_keys,
+       CAST(sum(CASE WHEN last_used >= max_ts - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT)
+         AS active_keys,
+       CAST(sum(CASE WHEN last_used >= max_ts - INTERVAL 7 DAY THEN 0 ELSE 1 END) AS BIGINT)
+         AS revoked_keys,
+       CAST(sum(requests_count) AS BIGINT) AS total_requests
+FROM usage, bound
+"""
+
+
+def _a3_key_usage(spark, sf_dir):
+    """A3 per-key listing (db_service.py:154-165)."""
+    from ocr_spark.operators.metrics import key_usage
+
+    return key_usage(_t(spark, sf_dir, "events")).select(
+        "key", "requests_count", "last_used", "is_active"
+    )
+
+
+_A3_USAGE_SQL = """
+WITH bound AS (SELECT max(ts) AS max_ts FROM events)
+SELECT user_id AS key, CAST(count(*) AS BIGINT) AS requests_count,
+       max(ts) AS last_used,
+       max(ts) >= max(max_ts) - INTERVAL 7 DAY AS is_active
+FROM events, bound GROUP BY user_id
+"""
+
+
 def _a5_counts_by_type(spark, sf_dir):
     from ocr_spark.operators.metrics import counts_by_type
 
@@ -1274,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_event_stats": _a1_event_stats,
         "a2_events_by_date": _a2_events_by_date,
         "a2_zero_filled": _a2_zero_filled,
+        "a3_key_stats": _a3_key_stats,
+        "a3_key_usage": _a3_key_usage,
         "a5_counts_by_type": _a5_counts_by_type,
         "a7_word_frequency": _a7_word_frequency,
         "a8_top_pending": _a8_top_pending,
@@ -1333,6 +1378,8 @@ def oracle_sql() -> dict[str, str]:
         "a1_event_stats": _A1_SQL,
         "a2_events_by_date": _A2_SQL,
         "a2_zero_filled": _A2Z_SQL,
+        "a3_key_stats": _A3_SQL,
+        "a3_key_usage": _A3_USAGE_SQL,
         "a5_counts_by_type": _A5_SQL,
         "a7_word_frequency": _A7_SQL,
         "a8_top_pending": _A8_SQL,

@@ -67,6 +67,54 @@ def counts_by_type(df: DataFrame, type_col: str) -> DataFrame:
     )
 
 
+def key_usage(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    active_days: int = 7,
+) -> DataFrame:
+    """A3 per-key usage view (db_service.py:154-165 list_api_keys):
+    requests_count + last_used per key, with an activity flag — a key is
+    "active" when used within ``active_days`` of the dataset's newest
+    event (the batch analog of the reference's is_active column; data
+    carries no revocation table). The global bound is a 1-row broadcast
+    cross join, not a window over everything."""
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("requests_count"),
+        F.max(ts_col).alias("last_used"),
+    )
+    bound = df.agg(F.max(ts_col).alias("_max_ts"))
+    return (
+        per_key.crossJoin(F.broadcast(bound))
+        .select(
+            "key",
+            "requests_count",
+            "last_used",
+            (
+                F.col("last_used")
+                >= F.col("_max_ts") - F.expr(f"INTERVAL {active_days} DAYS")
+            ).alias("is_active"),
+        )
+    )
+
+
+def key_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    active_days: int = 7,
+) -> DataFrame:
+    """A3 aggregate (db_service.py:176-193 stats_api_key): total / active /
+    revoked key counts + total request count, over :func:`key_usage`."""
+    usage = key_usage(df, key_col, ts_col, active_days)
+    return usage.agg(
+        F.count(F.lit(1)).alias("total_keys"),
+        F.sum(F.when(F.col("is_active"), 1).otherwise(0)).alias("active_keys"),
+        F.sum(F.when(~F.col("is_active"), 1).otherwise(0)).alias("revoked_keys"),
+        F.sum("requests_count").alias("total_requests"),
+    )
+
+
 def paginate(df: DataFrame, order_col: str, limit: int, offset: int = 0, ascending: bool = False) -> DataFrame:
     """A9 (db_service.py:226-236): ORDER BY .. LIMIT .. OFFSET.
 

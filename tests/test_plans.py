@@ -149,6 +149,18 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     assert joined.count() > 0
 
 
+def test_minhash_near_dup_single_shuffle(docs):
+    """Posting-list LSH: the whole near-dup pipeline shuffles ONCE (the
+    bucket groupBy) plus the final distinct — signatures must not re-join
+    (no extra Exchanges, no cached side)."""
+    from ocr_spark.operators.dedup import minhash_near_duplicates
+
+    plan = _plan(minhash_near_duplicates(docs))
+    # one Exchange for the posting groupBy + one for the pair distinct
+    assert plan.count("Exchange") == 2
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_window_topk_single_shuffle(spark):
     """w1 (top-3 per customer): exactly one Exchange (the partition-key
     shuffle) and the rank filter applied inside the Window stage — a
