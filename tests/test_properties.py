@@ -97,6 +97,51 @@ def test_differential_vs_reference(text, use_dict, use_spell, confs):
     assert got["quality"] == ref["quality"]
 
 
+def _rule_fragments():
+    """Fragments drawn from the ACTUAL rule tables, so generated inputs hit
+    the correction branches densely (random unicode almost never does):
+    kamus words, phrase-typo keys, multi-word keys, old-spelling forms,
+    currency shapes, digit-glue and lookalike shapes."""
+    from ocr_spark.functions import dictionaries as D
+
+    frags = (
+        sorted(D.KAMUS)[:80]
+        + sorted(D.PHRASE_MAP)[:60]
+        + [k for k in sorted(D.MULTI_WORD_MAP)[:40]]
+        + sorted(D.J_TO_Y)
+        + ["djalan", "tjinta", "njonja", "sjarat", "chusus", "oetama"]
+        + ["Rp 5OO.000", "Rp l2.345", "rp 1O0", "5OO rupiah", "tahun l985",
+           "Rp.2S0,-", "USD 1O0"]
+        + ["12menit", "jam3", "l00unit", "tahunl99O"]
+        + ["—", "...", "«", "»", "\t", "  ", "\n", ",", ".", "!", "?", "(", ")"]
+    )
+    return frags
+
+
+_adversarial = st.lists(
+    st.sampled_from(_rule_fragments()), min_size=1, max_size=12
+).map(lambda parts: " ".join(parts))
+
+
+@pytest.mark.skipif(not _REF.exists(), reason="reference not present")
+@settings(max_examples=300, deadline=None)
+@given(_adversarial, st.booleans(), st.booleans())
+def test_differential_vs_reference_rule_dense(text, use_dict, use_spell):
+    """Differential fuzz biased INTO the rule tables: every example drives
+    multiple correction/normalization branches; byte-equality must hold."""
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tools"))
+    from make_fixtures import reference_pipeline
+
+    ref = reference_pipeline(text, use_dict, use_spell, [])
+    got = extract_turn(text, use_dictionary=use_dict, use_spelling=use_spell)
+    assert got["extracted_text"] == ref["extracted_text"]
+    assert got["normalized_text"] == ref["normalized_text"]
+    assert got["dictionary_corrections"] == ref["dictionary_corrections"]
+    assert got["spelling_changes"] == ref["spelling_changes"]
+    assert got["unknown_words"] == ref["unknown_words"]
+    assert got["quality"] == ref["quality"]
+
+
 @_settings
 @given(_texts)
 def test_currency_normalization_total(text):
