@@ -754,8 +754,10 @@ def _decontaminate(spark, sf_dir):
 
 _DECONTAMINATE_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
-bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 20),
-train AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 20),
+bench AS (SELECT DISTINCT ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+          FROM sh WHERE doc_id < 20),
+train AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+          FROM sh WHERE doc_id >= 20),
 ov AS (
   SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
   FROM train t JOIN bench b ON t.s = b.s GROUP BY t.doc_id

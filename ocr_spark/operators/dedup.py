@@ -405,14 +405,18 @@ def decontaminate(
     Shape: benchmark shingles form a small distinct set → broadcast
     left-semi count via explode + broadcast join + groupBy. At 100 TB the
     benchmark side is tiny (evals are small) so the join is map-side; the
-    training side stays one narrow explode.
+    training side stays one narrow explode. The join key is the shingle's
+    60-bit md5 prefix (the same key the MinHash/Jaccard family uses):
+    fixed-width longs broadcast and probe faster than shingle text, at the
+    ~2⁻⁴⁰ collision rate the SQL oracle reproduces bit-for-bit.
     """
-    bench_sh = (
-        benchmark.select(F.explode(shingles(text_col, k)).alias("shingle"))
-        .distinct()
+    sh_ids = F.transform(
+        shingles(text_col, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
+    bench_sh = benchmark.select(F.explode(sh_ids).alias("shingle")).distinct()
     doc_sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("shingle")
+        F.col(id_col).alias("id"), F.explode(sh_ids).alias("shingle")
     )
     overlaps = (
         doc_sh.join(F.broadcast(bench_sh), "shingle", "inner")
