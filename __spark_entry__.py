@@ -351,6 +351,86 @@ ORDER BY frequency DESC, bigram ASC LIMIT 20
 """
 
 
+def _t8_gap_sessions(spark, sf_dir):
+    """Gap-based sessionization in batch (the window-function rendition of
+    the streaming sessionizer): a new session starts when a user's
+    inter-event gap exceeds 30 minutes — lag + cumulative sum over an
+    event-time window, then per-session aggregates. One shuffle on the
+    partition key."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = gapped.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+_T8_GAP_SQL = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+           AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM gapped
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def _a10_value_quantiles(spark, sf_dir):
+    """Discrete quantiles (exact element selection — deterministic across
+    engines, unlike interpolated percentiles) of event value per type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"), 6).alias("p50"),
+        F.round(F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)"), 6).alias("p95"),
+        F.round(F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)"), 6).alias("p99"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+_A10_SQL = """
+SELECT event_type,
+       ROUND(quantile_disc(value, 0.5), 6) AS p50,
+       ROUND(quantile_disc(value, 0.95), 6) AS p95,
+       ROUND(quantile_disc(value, 0.99), 6) AS p99,
+       ROUND(min(value), 6) AS vmin,
+       ROUND(max(value), 6) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 def _a9_event_pagination(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -544,6 +624,39 @@ SELECT d.doc_id AS id,
        COALESCE(c.cluster, d.doc_id) AS cluster,
        COALESCE(c.cluster, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
+def _dedup_corpus(spark, sf_dir):
+    """The materialized deduplicated corpus: one doc (min id) per jaccard
+    near-dup cluster, all columns preserved — what a training-data pipeline
+    actually writes out. Projected to (doc_id, source, n_chars) for the
+    compare (text equality is already covered by the cluster oracle)."""
+    from ocr_spark.operators.dedup import dedup_corpus, jaccard_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_near_duplicates(docs, threshold=0.1, k=3)
+    return dedup_corpus(pairs, docs).select(
+        "doc_id", "source", F.length("text").alias("n_chars")
+    )
+
+
+_DEDUP_CORPUS_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id AS label FROM verts
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+dropped AS (SELECT id FROM reach GROUP BY id HAVING min(label) <> id)
+SELECT doc_id, source, CAST(length(text) AS INT) AS n_chars
+FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
 """
 
 
@@ -1331,6 +1444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_import_merge": _s6_import_merge,
         "t8_event_sessions": _t8_event_sessions,
         "t8_assembled_docs": _t8_assembled_docs,
+        "t8_gap_sessions": _t8_gap_sessions,
+        "a10_value_quantiles": _a10_value_quantiles,
         "j2_unknown_antijoin": _j2_unknown_antijoin,
         # dedup family
         "exact_dedup": _exact_dedup,
@@ -1338,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _minhash_near_dup,
         "jaccard_near_dup": _jaccard_near_dup,
         "dedup_clusters": _dedup_clusters,
+        "dedup_corpus": _dedup_corpus,
         "simhash": _simhash,
         "simhash_near_dup": _simhash_near_dup,
         "decontaminate": _decontaminate,
@@ -1391,12 +1507,15 @@ def oracle_sql() -> dict[str, str]:
         "s6_import_merge": _s6_sql(),
         "t8_event_sessions": _T8_SQL,
         "t8_assembled_docs": _T8_ASSEMBLED_SQL,
+        "t8_gap_sessions": _T8_GAP_SQL,
+        "a10_value_quantiles": _A10_SQL,
         "j2_unknown_antijoin": _J2_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "minhash_near_dup": _MINHASH_NEAR_DUP_SQL,
         "jaccard_near_dup": _JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_corpus": _DEDUP_CORPUS_SQL,
         "simhash": _SIMHASH_SQL,
         "simhash_near_dup": _SIMHASH_NEAR_DUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
