@@ -900,6 +900,110 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
 """
 
 
+def _curate_corpus(spark, sf_dir):
+    """The composed training-data curation pipeline — what the dedup /
+    quality / decontamination operators exist FOR, chained end-to-end:
+    quality gate (score ≥ 50) → language gate (drop 'und') → benchmark
+    decontamination (vs docs < 20) → near-dup cluster dedup (jaccard ≥
+    0.1, keep min id) → deterministic stratified sample. One oracle checks
+    the whole composition; each stage is additionally oracle-checked alone
+    above."""
+    from ocr_spark.operators.dedup import (
+        decontaminate,
+        dedup_corpus,
+        jaccard_near_duplicates,
+        stratified_sample,
+    )
+    from ocr_spark.operators.textstats import with_lang_id, with_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_lang_id(with_quality(docs))
+    kept = scored.filter(
+        (F.col("quality_score") >= 50)
+        & (F.col("lang_pred") != "und")
+        & (F.col("doc_id") >= 5)
+    )
+    benchmark = docs.filter(F.col("doc_id") < 5)
+    clean_ids = decontaminate(kept, benchmark, max_overlap=0).select(
+        F.col("id").alias("doc_id")
+    )
+    clean = kept.join(clean_ids, "doc_id")
+    pairs = jaccard_near_duplicates(clean, threshold=0.1, k=3)
+    deduped = dedup_corpus(pairs, clean)
+    quotas = {"src0": 80, "src1": 50, "src2": 20, "src3": 10}
+    return stratified_sample(deduped, quotas).select(
+        "doc_id", "source", "lang_pred", "quality_score"
+    )
+
+
+def _curate_sql() -> str:
+    quality = _quality_sql()
+    langid_hits = f"""
+  SELECT doc_id,
+         len(list_filter(regexp_extract_all(lower(text), '{WORD_RE}'),
+                         t -> list_contains({_stop_sql(_textstats_lists()[0])}, t))) AS en_hits,
+         len(list_filter(regexp_extract_all(lower(text), '{WORD_RE}'),
+                         t -> list_contains({_stop_sql(_textstats_lists()[1])}, t))) AS id_hits
+  FROM documents
+"""
+    return f"""
+WITH RECURSIVE
+dq AS ({quality}),
+hits AS ({langid_hits}),
+langs AS (
+  SELECT doc_id, CASE WHEN en_hits > id_hits THEN 'en'
+                      WHEN id_hits > en_hits THEN 'id'
+                      ELSE 'und' END AS lang_pred
+  FROM hits
+),
+sh AS ({_SHINGLES_SQL}),
+bench AS (SELECT DISTINCT ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+          FROM sh WHERE doc_id < 5),
+kept AS (
+  SELECT d.doc_id, d.source, l.lang_pred, q.quality_score
+  FROM documents d
+  JOIN dq q USING (doc_id)
+  JOIN langs l USING (doc_id)
+  WHERE q.quality_score >= 50 AND l.lang_pred <> 'und' AND d.doc_id >= 5
+),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+        FROM sh WHERE doc_id IN (SELECT doc_id FROM kept)) t
+  JOIN bench b ON t.s = b.s
+),
+clean AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+          WHERE doc_id IN (SELECT doc_id FROM clean)),
+ex AS (SELECT doc_id, n,
+              ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+       FROM sized),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+  HAVING ROUND(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 6) >= 0.1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+dropped AS (SELECT id FROM reach GROUP BY id HAVING min(label) <> id)
+SELECT doc_id, source, lang_pred, quality_score
+FROM clean
+WHERE doc_id NOT IN (SELECT id FROM dropped)
+  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+      CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
+                  WHEN 'src2' THEN 20 WHEN 'src3' THEN 10 ELSE 0 END
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings.
 # ---------------------------------------------------------------------------
@@ -1458,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _simhash_near_dup,
         "decontaminate": _decontaminate,
         "stratified_sample": _stratified_sample,
+        "curate_corpus": _curate_corpus,
         # similarity search
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_cosine_topk_np": _ann_cosine_topk_np,
@@ -1520,6 +1625,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _SIMHASH_NEAR_DUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "stratified_sample": _STRATIFIED_SQL,
+        "curate_corpus": _curate_sql(),
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_topk_np": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),

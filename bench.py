@@ -34,6 +34,7 @@ HEADLINE = [
     "simhash",
     "simhash_near_dup",
     "decontaminate",
+    "curate_corpus",
     "ann_cosine_topk",
     "embedding_near_dup",
     "lang_id_counts",
