@@ -1054,6 +1054,35 @@ def _ann_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(emb, qvec, k=10, n_planes=6)
 
 
+def _ann_lsh_topk_mp(spark, sf_dir):
+    """Multi-probe variant: candidates come from the query bucket plus all
+    Hamming-1 neighbor buckets — the standard recall enhancer, still a
+    deterministic prefilter the oracle reproduces by comparing bucket
+    strings character-wise."""
+    from ocr_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_cosine_topk(emb, qvec, k=10, n_planes=6, multi_probe=1)
+
+
+def _ann_lsh_mp_sql() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+b AS (SELECT vec_id, v, {_bucket_sql('v', 6)} AS bucket FROM v),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id AS id,
+       ROUND(CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 0.0
+                  ELSE list_inner_product(v, qv)
+                       / (sqrt(list_inner_product(v, v))
+                          * sqrt(list_inner_product(qv, qv))) END, 6) AS score
+FROM b, q
+WHERE len(list_filter(generate_series(1, 6), i -> bucket[i] <> qb[i])) <= 1
+ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+
 #: embedding width of the testdata embeddings table (fixed contract across
 #: SFs — asserted against the parquet in tests/test_similarity.py)
 _EMB_DIM = 64
@@ -1567,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_cosine_topk_np": _ann_cosine_topk_np,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_lsh_topk_mp": _ann_lsh_topk_mp,
         "embedding_near_dup": _embedding_near_dup,
         # multimodal (real stdlib codecs + numpy pixel ops)
         "media_image_features": _media_image_features,
@@ -1629,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_topk_np": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_lsh_topk_mp": _ann_lsh_mp_sql(),
         "embedding_near_dup": _emb_near_dup_sql(),
         "lang_id_counts": _langid_sql(),
         "doc_quality": _quality_sql(),

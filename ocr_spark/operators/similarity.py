@@ -180,20 +180,35 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 7,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: prefilter to the query's LSH bucket, exact-rerank
     inside it. One narrow pass + a pushed-down bucket filter — the IVF-style
     scale path (bucket column can be a partition/cluster key at rest so the
-    scan prunes to ~1/2^n_planes of the data)."""
+    scan prunes to ~1/2^n_planes of the data).
+
+    ``multi_probe`` widens the prefilter to buckets within that Hamming
+    distance of the query's bucket (standard multi-probe LSH): probing the
+    m-neighborhood recovers most of the recall lost to near-boundary sign
+    flips at ~(n_planes choose ≤m)× the candidate cost — still a tiny
+    fraction of the corpus, and still one narrow pass."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
     qbits = "".join(
         "1" if sum(px * qx for px, qx in zip(p, query_vec)) >= 0 else "0"
         for p in planes
     )
     bucketed = df.withColumn("_bucket", sign_bucket(F.col(vec_col), planes))
-    return cosine_topk(
-        bucketed.filter(F.col("_bucket") == qbits), query_vec, k, id_col, vec_col
-    )
+    if multi_probe <= 0:
+        pruned = bucketed.filter(F.col("_bucket") == qbits)
+    else:
+        bit_diffs = sum(
+            F.when(
+                F.substring("_bucket", i + 1, 1) != qbits[i], 1
+            ).otherwise(0)
+            for i in range(n_planes)
+        )
+        pruned = bucketed.filter(bit_diffs <= multi_probe)
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
 def embedding_near_duplicates(

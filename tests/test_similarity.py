@@ -83,6 +83,22 @@ def test_lsh_topk_is_subset_with_query_recall(vectors):
     assert exact[0] == 0
 
 
+def test_multi_probe_recall_dominates_single_bucket(vectors):
+    """Probing Hamming-1 neighbor buckets can only ADD candidates, so
+    multi-probe recall vs the exact top-k is >= single-bucket recall, and
+    its result is still drawn from true-cosine scoring."""
+    df, byid = vectors
+    q = byid[0]
+    exact = {r["id"] for r in cosine_topk(df, q, k=10).collect()}
+    single = {r["id"] for r in lsh_cosine_topk(df, q, k=10, n_planes=6).collect()}
+    multi = {
+        r["id"]
+        for r in lsh_cosine_topk(df, q, k=10, n_planes=6, multi_probe=1).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert 0 in multi  # the query itself always survives
+
+
 def test_embedding_near_dup_finds_planted_pair(vectors):
     df, _ = vectors
     pairs = {
