@@ -595,14 +595,16 @@ def connected_components(
 
     Each iteration: every vertex takes the min of its own label and its
     neighbours' labels (edges made symmetric, one shuffle join + one
-    hash-aggregate). Convergence in O(component diameter) iterations —
-    near-dup graphs are bucket-join cliques, so diameter is tiny even when
-    a cluster has 10⁶ members (a star converges in 2 passes; see the skew
-    test). Labels only ever decrease, so ``sum(label)`` is a strictly
-    decreasing convergence witness — one scalar agg per iteration instead
-    of a change-count join. ``localCheckpoint`` truncates the iterative
-    lineage each pass (swap for reliable ``checkpoint`` on a real cluster
-    where executor loss must not restart the whole loop)."""
+    hash-aggregate), then POINTER-JUMPS — label(v) ← label(label(v)) — so
+    a discovered minimum hops across the component exponentially instead
+    of one edge per pass. Convergence in O(log diameter) iterations: a
+    1000-link chain resolves in ~15 passes, not 999 (tested), and
+    bucket-join cliques in 2. Labels only ever decrease, so ``sum(label)``
+    is a strictly decreasing convergence witness — one scalar agg per
+    iteration instead of a change-count join. ``localCheckpoint``
+    truncates the iterative lineage each pass (swap for reliable
+    ``checkpoint`` on a real cluster where executor loss must not restart
+    the whole loop)."""
     # materialize the pair list ONCE: edges and labels consume it in four
     # subtrees and the propagation loop re-reads edges every iteration —
     # without this the (possibly expensive) pair-generation pipeline would
@@ -625,10 +627,25 @@ def connected_components(
         prop = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "cluster")
-        labels = (
+        merged = (
             labels.union(prop)
             .groupBy("id")
             .agg(F.min("cluster").alias("cluster"))
+        )
+        # pointer jumping: follow the label one hop (labels are always
+        # vertex ids, so the lookup join hits; min keeps determinism when
+        # a vertex's label was itself relabelled this round)
+        parents = merged.select(
+            F.col("id").alias("cluster"), F.col("cluster").alias("_parent")
+        )
+        labels = (
+            merged.join(parents, "cluster", "left")  # parents key is unique
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("_parent", F.col("cluster"))
+                ).alias("cluster"),
+            )
             .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(

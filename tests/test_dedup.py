@@ -266,6 +266,22 @@ def test_connected_components_skewed_star_cluster(spark):
     assert comp[2000] == comp[2001] == 2000
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    from ocr_spark.operators.dedup import connected_components
+
+    # 1000-link path graph: diameter 1000 — plain neighbor propagation
+    # would need ~1000 rounds; pointer jumping must resolve in O(log n)
+    chain = [(i, i + 1) for i in range(1000)]
+    comp = {
+        r["id"]: r["cluster"]
+        for r in connected_components(
+            _pairs_df(spark, chain), max_iter=25
+        ).collect()
+    }
+    assert len(comp) == 1001
+    assert set(comp.values()) == {0}
+
+
 def test_connected_components_empty_pairs(spark):
     from ocr_spark.operators.dedup import connected_components
 
