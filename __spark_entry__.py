@@ -1120,6 +1120,43 @@ ORDER BY score DESC, id ASC LIMIT 10
 """
 
 
+def _knn_join(spark, sf_dir):
+    """k-NN join: top-5 corpus neighbors for each of 5 query vectors —
+    broadcast query side, narrow scoring with hoisted norms, one window
+    shuffle on query_id."""
+    from ocr_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=5
+    )
+
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id >= 5 AND embedding IS NOT NULL),
+scored AS (
+  SELECT q.query_id, c.id,
+         ROUND(CASE WHEN sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)) = 0
+                    THEN 0.0
+                    ELSE list_inner_product(v, qv)
+                         / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))
+               END, 6) AS score
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def _embedding_near_dup(spark, sf_dir):
     """LSH-bucketed self-join + exact cosine verify. Deterministic given the
     seeded hyperplanes (literals in the oracle too); dim passed explicitly
@@ -1597,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_np": _ann_cosine_topk_np,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_lsh_topk_mp": _ann_lsh_topk_mp,
+        "knn_join": _knn_join,
         "embedding_near_dup": _embedding_near_dup,
         # multimodal (real stdlib codecs + numpy pixel ops)
         "media_image_features": _media_image_features,
@@ -1660,6 +1698,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_np": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_lsh_topk_mp": _ann_lsh_mp_sql(),
+        "knn_join": _KNN_SQL,
         "embedding_near_dup": _emb_near_dup_sql(),
         "lang_id_counts": _langid_sql(),
         "doc_quality": _quality_sql(),

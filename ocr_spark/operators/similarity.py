@@ -211,6 +211,53 @@ def lsh_cosine_topk(
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN JOIN: the top-k corpus neighbors for EVERY query row (the
+    retrieval / near-dup-audit workload shape, vs the single-query
+    :func:`cosine_topk`). Returns (query_id, id, score, rank).
+
+    Shape: the query side broadcasts (it is the small side by design —
+    probes, eval sets, centroids); scoring is a narrow
+    corpus-×-broadcast-queries pass with per-row norms hoisted out of the
+    pair expression; per-query top-k is one window over the scored rows,
+    shuffled by query_id only. At 10⁹ corpus rows × 10³ queries that is a
+    scan-bound map stage plus a (rows × k)-sized shuffle — no corpus
+    self-join anywhere. For huge query sets, partition the query side and
+    union the per-chunk results (same plan per chunk)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(query_vec_col).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).withColumn("vn", norm(F.col("v")))
+    denom = F.col("vn") * F.col("qn")
+    score = F.round(
+        F.when(denom == 0, F.lit(0.0)).otherwise(dot(F.col("v"), F.col("qv")) / denom),
+        6,
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "id", score.alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.select(
+            "query_id", "id", "score", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -5,6 +5,7 @@ import math
 import random
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
@@ -81,6 +82,24 @@ def test_lsh_topk_is_subset_with_query_recall(vectors):
         r["id"] for r in cosine_topk(df, q, k=200 + 1).collect()
     )
     assert exact[0] == 0
+
+
+def test_knn_join_matches_per_query_topk(spark, vectors):
+    from ocr_spark.operators.similarity import knn_join
+
+    df, byid = vectors
+    queries = df.filter(F.col("vec_id") < 3)
+    corpus = df.filter(F.col("vec_id") >= 3)
+    got = {
+        (r["query_id"], r["rank"]): (r["id"], r["score"])
+        for r in knn_join(corpus, queries, k=4).collect()
+    }
+    for qid in (0, 1, 2):
+        expected = cosine_topk(corpus, byid[qid], k=4).collect()
+        for rank, e in enumerate(expected, start=1):
+            gid, gscore = got[(qid, rank)]
+            assert gid == e["id"], (qid, rank)
+            assert abs(gscore - e["score"]) <= 1e-6
 
 
 def test_multi_probe_recall_dominates_single_bucket(vectors):
