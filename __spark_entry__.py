@@ -908,31 +908,23 @@ def _curate_corpus(spark, sf_dir):
     0.1, keep min id) → deterministic stratified sample. One oracle checks
     the whole composition; each stage is additionally oracle-checked alone
     above."""
-    from ocr_spark.operators.dedup import (
-        decontaminate,
-        dedup_corpus,
-        jaccard_near_duplicates,
-        stratified_sample,
-    )
-    from ocr_spark.operators.textstats import with_lang_id, with_quality
+    from ocr_spark.operators.curation import curate_corpus
 
     docs = _t(spark, sf_dir, "documents")
-    scored = with_lang_id(with_quality(docs))
-    kept = scored.filter(
-        (F.col("quality_score") >= 50)
-        & (F.col("lang_pred") != "und")
-        & (F.col("doc_id") >= 5)
-    )
-    benchmark = docs.filter(F.col("doc_id") < 5)
-    clean_ids = decontaminate(kept, benchmark, max_overlap=0).select(
-        F.col("id").alias("doc_id")
-    )
-    clean = kept.join(clean_ids, "doc_id")
-    pairs = jaccard_near_duplicates(clean, threshold=0.1, k=3)
-    deduped = dedup_corpus(pairs, clean)
     quotas = {"src0": 80, "src1": 50, "src2": 20, "src3": 10}
-    return stratified_sample(deduped, quotas).select(
-        "doc_id", "source", "lang_pred", "quality_score"
+    out = curate_corpus(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+        quotas,
+        min_quality=50,
+        jaccard_threshold=0.1,
+        k=3,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("stratum").alias("source"),
+        "lang_pred",
+        "quality_score",
     )
 
 

@@ -1,0 +1,89 @@
+"""The end-to-end training-data curation pipeline as ONE operator.
+
+Chains the gates a corpus pass actually runs — quality score, language ID,
+benchmark decontamination, near-dup cluster dedup, deterministic stratified
+sampling — sharing work the naive operator chain recomputes:
+
+* quality + lang-ID features come from one narrow pass;
+* the shingle explosion is built ONCE for the gate-surviving docs and
+  ``localCheckpoint``-ed, then feeds BOTH the decontamination join and the
+  Jaccard posting lists (recomputing it means running the tokenize+md5
+  pass twice — extraction-style work at ~1000× compute per byte, so
+  materializing the ~2× exploded form is the cheaper side of the
+  trade at any scale; swap for reliable ``checkpoint`` on a cluster);
+* pair→cluster resolution and the final anti-join reuse the dedup
+  operators unchanged.
+
+Semantics are EXACTLY the composition of the individual operators (the
+entry-level oracle pins this: same output as the chained SQL), just with
+the redundant physical work removed.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import (
+    connected_components,
+    jaccard_pairs_from_exploded,
+    shingles,
+    stratified_sample,
+)
+from ocr_spark.operators.textstats import with_lang_id, with_quality
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    quotas: dict[str, int],
+    min_quality: int = 50,
+    drop_lang: str = "und",
+    jaccard_threshold: float = 0.1,
+    k: int = 3,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Returns the curated corpus rows (id, stratum, lang_pred,
+    quality_score): quality ≥ ``min_quality``, language ≠ ``drop_lang``,
+    zero benchmark shingle overlap, one doc (min id) per near-dup cluster,
+    sampled per-stratum."""
+    sh_ids = F.transform(
+        shingles(text_col, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    scored = with_lang_id(with_quality(docs), text_col)
+    kept = scored.filter(
+        (F.col("quality_score") >= min_quality) & (F.col("lang_pred") != drop_lang)
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(strata_col).alias("stratum"),
+        "lang_pred",
+        "quality_score",
+        sh_ids.alias("sh"),
+    )
+    # the shared shingle explosion: decontamination join + jaccard postings
+    ex = kept.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    ).localCheckpoint(eager=True)
+
+    bench_sh = benchmark.select(F.explode(sh_ids).alias("shingle")).distinct()
+    contaminated = (
+        ex.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("id")
+        .distinct()
+    )
+    clean_ex = ex.join(contaminated, "id", "left_anti")
+
+    pairs = jaccard_pairs_from_exploded(clean_ex, jaccard_threshold)
+    dropped = (
+        connected_components(pairs)
+        .filter(F.col("cluster") != F.col("id"))
+        .select("id")
+    )
+    clean = (
+        kept.drop("sh")
+        .join(contaminated, "id", "left_anti")
+        .join(dropped, "id", "left_anti")
+    )
+    return stratified_sample(clean, quotas, strata_col="stratum", id_col="id")

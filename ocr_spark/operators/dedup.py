@@ -328,6 +328,18 @@ def jaccard_near_duplicates(
     sized = df.select(F.col(id_col).alias("id"), ids.alias("sh")).select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
+    return jaccard_pairs_from_exploded(sized, threshold, max_doc_freq)
+
+
+def jaccard_pairs_from_exploded(
+    sized: DataFrame,
+    threshold: float,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """The posting-list Jaccard core over a pre-built exploded frame
+    (id, n_sh, shingle) — callers that already materialized the shingle
+    explosion (the curation pipeline shares it with decontamination) skip
+    recomputing the tokenize+hash pass. Returns (id_a, id_b, jaccard)."""
     posting = sized.groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.struct("id", "n_sh"))).alias("docs")
     )
