@@ -99,6 +99,31 @@ def merge_import(existing: DataFrame, imported: DataFrame) -> DataFrame:
     )
 
 
+def approve_words(
+    learned: DataFrame, words: list[str], approved_at
+) -> DataFrame:
+    """Manual approval (learning_service.py:136-152): set
+    is_approved/approved_at for the listed words where still pending —
+    already-approved rows keep their original approved_at. Words are
+    lowercased/stripped like the reference. ``approved_at`` is an explicit
+    timestamp (determinism; the reference stamps now())."""
+    targets = [w.lower().strip() for w in words]
+    newly = F.col("word").isin(targets) & ~F.col("is_approved")
+    return learned.withColumn(
+        "approved_at",
+        F.when(newly, F.lit(approved_at).cast("timestamp")).otherwise(
+            F.col("approved_at")
+        ),
+    ).withColumn("is_approved", F.col("is_approved") | newly)
+
+
+def reject_words(learned: DataFrame, words: list[str]) -> DataFrame:
+    """Manual rejection (learning_service.py:154-165): drop the listed
+    words from tracking entirely."""
+    targets = [w.lower().strip() for w in words]
+    return learned.filter(~F.col("word").isin(targets))
+
+
 EXPORT_VERSION = "1.0"
 
 

@@ -281,19 +281,32 @@ def learning_foreach_batch(learned_table_path: str, keep_snapshots: int = 2):
             spark.read.parquet(str(root / state["snapshot"])) if state else None
         )
         merged = accrue_learned(existing, epoch_word_counts(batch_df))
-        snap = f"v{batch_id:010d}"
-        tmp = root / f"_tmp-{snap}"
-        if tmp.exists():
-            shutil.rmtree(tmp)  # leftover from a crashed attempt
-        merged.write.mode("overwrite").parquet(str(tmp))
-        final = root / snap
-        if final.exists():
-            shutil.rmtree(final)  # crashed after rename, before pointer swap
-        tmp.rename(final)
-        ptr_tmp = root / f"{LEARNED_CURRENT}.tmp"
-        ptr_tmp.write_text(json.dumps({"snapshot": snap, "batch_id": batch_id}))
-        ptr_tmp.rename(root / LEARNED_CURRENT)  # atomic commit
-        for old in sorted(root.glob("v*"))[:-keep_snapshots]:
-            shutil.rmtree(old)
+        commit_learned_snapshot(merged, root, batch_id, keep_snapshots)
 
     return hook
+
+
+def commit_learned_snapshot(
+    merged: DataFrame,
+    root: pathlib.Path,
+    version: int,
+    keep_snapshots: int = 2,
+) -> None:
+    """Snapshot-commit protocol shared by the streaming hook and the batch
+    learning CLI: write the new table to a temp dir, rename it into place,
+    atomically replace the ``_CURRENT`` pointer, GC old snapshots."""
+    root.mkdir(parents=True, exist_ok=True)
+    snap = f"v{version:010d}"
+    tmp = root / f"_tmp-{snap}"
+    if tmp.exists():
+        shutil.rmtree(tmp)  # leftover from a crashed attempt
+    merged.write.mode("overwrite").parquet(str(tmp))
+    final = root / snap
+    if final.exists():
+        shutil.rmtree(final)  # crashed after rename, before pointer swap
+    tmp.rename(final)
+    ptr_tmp = root / f"{LEARNED_CURRENT}.tmp"
+    ptr_tmp.write_text(json.dumps({"snapshot": snap, "batch_id": version}))
+    ptr_tmp.rename(root / LEARNED_CURRENT)  # atomic commit
+    for old in sorted(root.glob("v*"))[:-keep_snapshots]:
+        shutil.rmtree(old)

@@ -128,6 +128,66 @@ def test_s5_json_export_import_roundtrip(spark, tmp_path):
     }  # self-merge is the identity (max/or/least/greatest are idempotent)
 
 
+def test_manual_approve_and_reject(spark):
+    """Reference admin semantics (learning_service.py:136-165): approve
+    flips pending rows only (sticky approved_at), reject deletes."""
+    from ocr_spark.operators.learning import approve_words, reject_words
+
+    schema = (
+        "word string, frequency long, is_approved boolean, "
+        "first_seen timestamp, last_seen timestamp, approved_at timestamp"
+    )
+    t_old = datetime.datetime(2025, 1, 1)
+    learned = spark.createDataFrame(
+        [
+            ("alpha", 9, True, T0, T0, t_old),
+            ("beta", 4, False, T0, T0, None),
+            ("gamma", 2, False, T0, T0, None),
+        ],
+        schema,
+    )
+    t_new = datetime.datetime(2026, 8, 17)
+    out = {r["word"]: r for r in
+           approve_words(learned, ["  Beta ", "alpha"], t_new).collect()}
+    assert out["beta"]["is_approved"] and out["beta"]["approved_at"] == t_new
+    assert out["alpha"]["approved_at"] == t_old  # sticky, not restamped
+    assert not out["gamma"]["is_approved"]
+
+    left = {r["word"] for r in reject_words(learned, ["GAMMA"]).collect()}
+    assert left == {"alpha", "beta"}
+
+
+def test_learning_snapshot_commit_roundtrip(spark, tmp_path):
+    """The CLI's snapshot commit is atomic and versioned: a mutation
+    yields a new readable snapshot, the pointer advances, old snapshots
+    are GC'd past the keep window."""
+    import pathlib
+
+    from ocr_spark.operators.learning import approve_words
+    from ocr_spark.streaming.extract_stream import (
+        commit_learned_snapshot,
+        read_learned_table,
+    )
+
+    root = pathlib.Path(tmp_path / "learned_cli")
+    schema = (
+        "word string, frequency long, is_approved boolean, "
+        "first_seen timestamp, last_seen timestamp, approved_at timestamp"
+    )
+    base = spark.createDataFrame([("kata", 3, False, T0, T0, None)], schema)
+    commit_learned_snapshot(base, root, 0)
+    t1 = read_learned_table(spark, str(root))
+    assert t1.count() == 1 and not t1.first()["is_approved"]
+    commit_learned_snapshot(
+        approve_words(t1, ["kata"], datetime.datetime(2026, 8, 17)), root, 1
+    )
+    t2 = read_learned_table(spark, str(root))
+    assert t2.first()["is_approved"]
+    commit_learned_snapshot(t2, root, 2)
+    snaps = sorted(p.name for p in root.glob("v*"))
+    assert len(snaps) == 2  # keep_snapshots=2 GC'd v0
+
+
 def test_s5_export_sink_and_reimport(spark, tmp_path):
     """The full S5 export surface (routers/learning.py:184-248): sectioned
     rows, version-header meta envelope, pending cap, approved_only variant,
