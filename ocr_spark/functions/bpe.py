@@ -127,7 +127,11 @@ class BPE:
     def loads(cls, data: str) -> "BPE":
         merges = []
         for line in data.splitlines():
-            if not line or line.startswith("#"):
+            # merge lines always contain exactly one tab; header/comment
+            # lines never do — keying on the tab (not a '#' prefix) keeps
+            # merges whose first symbol IS '#' (e.g. learned from
+            # '#include') from being dropped on round-trip
+            if "\t" not in line:
                 continue
             a, b = line.split("\t")
             merges.append((a, b))

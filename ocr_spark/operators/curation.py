@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ocr_spark.operators.dedup import (
     connected_components,
     jaccard_pairs_from_exploded,
-    shingles,
+    shingle_ids,
     stratified_sample,
 )
 from ocr_spark.operators.textstats import with_lang_id, with_quality
@@ -48,11 +48,8 @@ def curate_corpus(
     quality_score): quality ≥ ``min_quality``, language ≠ ``drop_lang``,
     zero benchmark shingle overlap, one doc (min id) per near-dup cluster,
     sampled per-stratum."""
-    sh_ids = F.transform(
-        shingles(text_col, k),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-    )
-    scored = with_lang_id(with_quality(docs), text_col)
+    sh_ids = shingle_ids(text_col, k)
+    scored = with_lang_id(with_quality(docs, text_col), text_col)
     kept = scored.filter(
         (F.col("quality_score") >= min_quality) & (F.col("lang_pred") != drop_lang)
     ).select(

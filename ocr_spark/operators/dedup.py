@@ -81,6 +81,17 @@ def shingles(text_col: str = "text", k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(full))
 
 
+def shingle_ids(text_col: str = "text", k: int = 3) -> Column:
+    """Array of 60-bit shingle keys: the md5-prefix hash shared by the
+    Jaccard / decontamination / curation family (ONE definition — the
+    DuckDB oracles reproduce this exact arithmetic, so a width change here
+    must land everywhere at once, which is the point of the helper)."""
+    return F.transform(
+        shingles(text_col, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+
 #: sentinel larger than any reachable hash value (h1 < 2^60, i*h2 < 2^44)
 _MINHASH_INIT = 1 << 62
 
@@ -320,14 +331,9 @@ def jaccard_near_duplicates(
     contribution to per-doc set sizes is subtracted back via the (small)
     hot-membership counts, so capped Jaccard is still an exact set
     similarity over the filtered universe."""
-    sh = shingles(text_col, k)
-    ids = F.transform(
-        sh,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-    )
-    sized = df.select(F.col(id_col).alias("id"), ids.alias("sh")).select(
-        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    )
+    sized = df.select(
+        F.col(id_col).alias("id"), shingle_ids(text_col, k).alias("sh")
+    ).select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
     return jaccard_pairs_from_exploded(sized, threshold, max_doc_freq)
 
 
@@ -422,10 +428,7 @@ def decontaminate(
     fixed-width longs broadcast and probe faster than shingle text, at the
     ~2⁻⁴⁰ collision rate the SQL oracle reproduces bit-for-bit.
     """
-    sh_ids = F.transform(
-        shingles(text_col, k),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-    )
+    sh_ids = shingle_ids(text_col, k)
     bench_sh = benchmark.select(F.explode(sh_ids).alias("shingle")).distinct()
     doc_sh = df.select(
         F.col(id_col).alias("id"), F.explode(sh_ids).alias("shingle")
@@ -611,12 +614,12 @@ def connected_components(
     a discovered minimum hops across the component exponentially instead
     of one edge per pass. Convergence in O(log diameter) iterations: a
     1000-link chain resolves in ~15 passes, not 999 (tested), and
-    bucket-join cliques in 2. Labels only ever decrease, so ``sum(label)``
-    is a strictly decreasing convergence witness — one scalar agg per
-    iteration instead of a change-count join. ``localCheckpoint``
-    truncates the iterative lineage each pass (swap for reliable
-    ``checkpoint`` on a real cluster where executor loss must not restart
-    the whole loop)."""
+    bucket-join cliques in 2. Convergence is detected by an any-label-
+    changed probe (a join on the small vertex set — type-agnostic, so
+    string/UUID ids work; a numeric sum witness would NULL out on them).
+    ``localCheckpoint`` truncates the iterative lineage each pass (swap
+    for reliable ``checkpoint`` on a real cluster where executor loss
+    must not restart the whole loop)."""
     # materialize the pair list ONCE: edges and labels consume it in four
     # subtrees and the propagation loop re-reads edges every iteration —
     # without this the (possibly expensive) pair-generation pipeline would
@@ -632,9 +635,6 @@ def connected_components(
         .select("id", F.col("id").alias("cluster"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(
-        F.sum(F.col("cluster").cast("decimal(38,0)"))
-    ).first()[0]
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -650,7 +650,7 @@ def connected_components(
         parents = merged.select(
             F.col("id").alias("cluster"), F.col("cluster").alias("_parent")
         )
-        labels = (
+        new_labels = (
             merged.join(parents, "cluster", "left")  # parents key is unique
             .select(
                 "id",
@@ -660,12 +660,19 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(
-            F.sum(F.col("cluster").cast("decimal(38,0)"))
-        ).first()[0]
-        if new_sum == prev_sum:  # labels only decrease: equal sum == fixpoint
+        # convergence witness: any label changed? A join on the (small)
+        # vertex set — type-agnostic, unlike a numeric sum over ids (which
+        # would be NULL for string/UUID ids and stop the loop on pass 1)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             return labels
-        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )

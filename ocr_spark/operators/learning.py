@@ -168,12 +168,17 @@ def write_learned_export(
     import json
     import pathlib
 
-    rows = export_learned_words(learned, approved_only, pending_limit)
-    rows.write.mode("overwrite").json(f"{path}/words")
-    counts = {
-        r["section"]: r["n"]
-        for r in rows.groupBy("section").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    rows = export_learned_words(learned, approved_only, pending_limit).persist()
+    try:
+        rows.write.mode("overwrite").json(f"{path}/words")
+        counts = {
+            r["section"]: r["n"]
+            for r in rows.groupBy("section")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        rows.unpersist()
     meta = {
         "version": EXPORT_VERSION,
         "export_date": export_date,

@@ -234,7 +234,7 @@ def knn_join(
     union the per-chunk results (same plan per chunk)."""
     from pyspark.sql import Window
 
-    q = queries.select(
+    q = queries.filter(F.col(query_vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         _as_double(query_vec_col).alias("qv"),
     ).withColumn("qn", norm(F.col("qv")))

@@ -37,6 +37,12 @@ def main() -> int:
     ap.add_argument("--approved-only", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+    if args.command == "export" and not args.out:
+        ap.error("export requires --out")
+    if args.command == "import" and not args.src:
+        ap.error("import requires --src")
+    if args.command in ("approve", "reject") and not args.words.strip():
+        ap.error(f"{args.command} requires --words")
 
     from ocr_spark.operators.learning import (
         approve_words,
@@ -63,10 +69,14 @@ def main() -> int:
         print(json.dumps({"error": "no committed snapshot", "table": args.table}))
         return 1
     state = _learned_state(root)
-    next_version = state["batch_id"] + 1
+    next_version = state.get("version", state.get("batch_id", -1)) + 1
 
     def commit(df) -> None:
-        commit_learned_snapshot(df, root, next_version)
+        # preserve the streaming replay guard: a CLI mutation must NOT
+        # advance batch_id, or a resumed stream drops genuine micro-batches
+        commit_learned_snapshot(
+            df, root, next_version, stream_batch_id=state.get("batch_id")
+        )
 
     now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
     words = [w for w in args.words.split(",") if w.strip()]

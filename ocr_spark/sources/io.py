@@ -31,16 +31,21 @@ def s3a_conf(
     access_key: str,
     secret_key: str,
     path_style: bool = True,
+    ssl: bool | None = None,
 ) -> None:
     """Point the generic s3a filesystem at a MinIO/S3-compatible endpoint —
     the whole MinIO client re-expressed as configuration (S2). Readers below
-    then take ``s3a://bucket/prefix`` paths unchanged."""
+    then take ``s3a://bucket/prefix`` paths unchanged. TLS follows the
+    endpoint scheme unless ``ssl`` overrides it (never silently downgrade
+    an https endpoint to plaintext)."""
+    if ssl is None:
+        ssl = endpoint.startswith("https")
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     hconf.set("fs.s3a.endpoint", endpoint)
     hconf.set("fs.s3a.access.key", access_key)
     hconf.set("fs.s3a.secret.key", secret_key)
     hconf.set("fs.s3a.path.style.access", "true" if path_style else "false")
-    hconf.set("fs.s3a.connection.ssl.enabled", "false")
+    hconf.set("fs.s3a.connection.ssl.enabled", "true" if ssl else "false")
 
 
 def read_binary_documents(
@@ -58,9 +63,15 @@ def read_binary_documents(
     (rejected files are never opened), and the size cap filters the
     ``length`` metadata column. Returns (path, modification_time, size_bytes,
     ext, payload)."""
-    globs = "{" + ",".join(
-        sorted(set(e.lower() for e in extensions) | set(e.upper() for e in extensions))
-    ) + "}"
+    # case-INSENSITIVE extension match via per-character classes — a plain
+    # {png,PNG} alternation silently drops mixed-case files like `.Png`
+    # (which the audit view, matching case-insensitively, wouldn't list
+    # either: data would vanish from the accounting)
+    classes = sorted(
+        "".join(f"[{c.lower()}{c.upper()}]" for c in e.lower())
+        for e in set(extensions)
+    )
+    globs = "{" + ",".join(classes) + "}"
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", f"*.{globs}")

@@ -165,10 +165,11 @@ def sessionize_stream(
     state_schema = "turns array<struct<i:int,t:string>>, last_ms long"
 
     def assemble(turns: list) -> str:
+        # filter BEFORE sorting: None text inside the sort key would raise
+        # on a (same-idx, None) vs (same-idx, str) comparison
+        nonempty = [(i, t) for i, t in turns if t is not None and t.strip()]
         units = []
-        for i, t in sorted(turns):
-            if t is None or not t.strip():
-                continue
+        for i, t in sorted(nonempty):
             if with_headers:
                 units.append(f"--- Halaman {i + 1} ---\n{t}")
             else:
@@ -275,13 +276,21 @@ def learning_foreach_batch(learned_table_path: str, keep_snapshots: int = 2):
         root = pathlib.Path(learned_table_path)
         root.mkdir(parents=True, exist_ok=True)
         state = _learned_state(root)
-        if state is not None and batch_id <= state["batch_id"]:
+        last_stream = state.get("batch_id") if state else None
+        if last_stream is not None and batch_id <= last_stream:
             return  # at-least-once replay of an already-applied micro-batch
         existing = (
             spark.read.parquet(str(root / state["snapshot"])) if state else None
         )
         merged = accrue_learned(existing, epoch_word_counts(batch_df))
-        commit_learned_snapshot(merged, root, batch_id, keep_snapshots)
+        # .get fallback: pointers written before the version/batch_id split
+        version = (
+            state.get("version", state.get("batch_id", -1)) + 1 if state else 0
+        )
+        commit_learned_snapshot(
+            merged, root, version, stream_batch_id=batch_id,
+            keep_snapshots=keep_snapshots,
+        )
 
     return hook
 
@@ -290,11 +299,20 @@ def commit_learned_snapshot(
     merged: DataFrame,
     root: pathlib.Path,
     version: int,
+    stream_batch_id: int | None = None,
     keep_snapshots: int = 2,
 ) -> None:
     """Snapshot-commit protocol shared by the streaming hook and the batch
     learning CLI: write the new table to a temp dir, rename it into place,
-    atomically replace the ``_CURRENT`` pointer, GC old snapshots."""
+    atomically replace the ``_CURRENT`` pointer, GC old snapshots.
+
+    The pointer tracks TWO counters: ``version`` (every commit, any
+    writer — names the snapshot dir) and ``batch_id`` (the last STREAMING
+    micro-batch applied — the hook's at-least-once replay guard). They
+    must stay separate: if a CLI mutation advanced the replay guard, a
+    resumed stream would treat genuinely new micro-batches as replays and
+    silently drop their counts. A CLI commit passes
+    ``stream_batch_id=state['batch_id']`` unchanged."""
     root.mkdir(parents=True, exist_ok=True)
     snap = f"v{version:010d}"
     tmp = root / f"_tmp-{snap}"
@@ -306,7 +324,11 @@ def commit_learned_snapshot(
         shutil.rmtree(final)  # crashed after rename, before pointer swap
     tmp.rename(final)
     ptr_tmp = root / f"{LEARNED_CURRENT}.tmp"
-    ptr_tmp.write_text(json.dumps({"snapshot": snap, "batch_id": version}))
+    ptr_tmp.write_text(
+        json.dumps(
+            {"snapshot": snap, "version": version, "batch_id": stream_batch_id}
+        )
+    )
     ptr_tmp.rename(root / LEARNED_CURRENT)  # atomic commit
     for old in sorted(root.glob("v*"))[:-keep_snapshots]:
         shutil.rmtree(old)

@@ -282,6 +282,19 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     assert set(comp.values()) == {0}
 
 
+def test_connected_components_string_ids(spark):
+    """The convergence probe must be type-agnostic: string ids broke the
+    old numeric-sum witness (NULL == NULL stopped the loop on pass 1)."""
+    from ocr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    comp = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
 def test_connected_components_empty_pairs(spark):
     from ocr_spark.operators.dedup import connected_components
 

@@ -102,6 +102,19 @@ def test_knn_join_matches_per_query_topk(spark, vectors):
             assert abs(gscore - e["score"]) <= 1e-6
 
 
+def test_knn_join_skips_null_vectors_both_sides(spark):
+    from ocr_spark.operators.similarity import knn_join
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, None)], schema
+    )
+    queries = spark.createDataFrame([(0, [1.0, 0.0]), (1, None)], schema)
+    rows = knn_join(corpus, queries, k=2).collect()
+    assert {r["query_id"] for r in rows} == {0}  # null query emits nothing
+    assert {r["id"] for r in rows} == {10, 11}  # null corpus row excluded
+
+
 def test_multi_probe_recall_dominates_single_bucket(vectors):
     """Probing Hamming-1 neighbor buckets can only ADD candidates, so
     multi-probe recall vs the exact top-k is >= single-bucket recall, and

@@ -21,6 +21,7 @@ def blob_dir(tmp_path_factory):
     (d / "sub").mkdir()
     (d / "a.pdf").write_bytes(b"%PDF-1.4 fake")
     (d / "b.PNG").write_bytes(b"\x89PNG fake")
+    (d / "m.Png").write_bytes(b"\x89PNG mixed-case")
     (d / "sub" / "c.jpg").write_bytes(b"\xff\xd8 fake jpeg")
     (d / "notes.txt").write_bytes(b"not allowed")
     (d / "huge.pdf").write_bytes(b"x" * 2048)
@@ -30,8 +31,8 @@ def blob_dir(tmp_path_factory):
 def test_binary_source_validation_pushdown(spark, blob_dir):
     docs = read_binary_documents(spark, blob_dir, max_bytes=1024)
     rows = {r["path"].rsplit("/", 1)[-1]: r for r in docs.collect()}
-    # extension allow-list (case-insensitive) + recursive lookup
-    assert set(rows) == {"a.pdf", "b.PNG", "c.jpg"}  # txt rejected, huge capped
+    # extension allow-list (case-INSENSITIVE, incl. mixed case) + recursion
+    assert set(rows) == {"a.pdf", "b.PNG", "m.Png", "c.jpg"}
     assert rows["a.pdf"]["payload"] == b"%PDF-1.4 fake"
     assert rows["b.PNG"]["ext"] == "png"
     assert rows["c.jpg"]["size_bytes"] == len(b"\xff\xd8 fake jpeg")

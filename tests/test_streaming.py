@@ -218,6 +218,45 @@ def test_foreach_batch_replay_is_idempotent(spark, tmp_path):
     assert freq2 == {"zzyqx": 2}
 
 
+def test_cli_commit_does_not_advance_stream_replay_guard(spark, tmp_path):
+    """An admin (CLI-style) snapshot commit between stream runs must not
+    consume future micro-batch ids — otherwise a resumed stream treats
+    genuinely new batches as replays and silently drops their counts."""
+    import pathlib
+
+    from ocr_spark.operators.learning import approve_words
+    from ocr_spark.streaming.extract_stream import (
+        _learned_state,
+        commit_learned_snapshot,
+        read_learned_table,
+    )
+
+    learned = str(tmp_path / "learned_guard")
+    hook = learning_foreach_batch(learned)
+    batch = spark.createDataFrame(
+        [(["zzyqx"], "2026-01-01 00:00:00")],
+        "unknown_words array<string>, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hook(batch, 0)
+    root = pathlib.Path(learned)
+    state = _learned_state(root)
+    # CLI mutation: new version, stream batch_id preserved
+    commit_learned_snapshot(
+        approve_words(read_learned_table(spark, learned), ["zzyqx"],
+                      __import__("datetime").datetime(2026, 8, 17)),
+        root,
+        state["version"] + 1,
+        stream_batch_id=state["batch_id"],
+    )
+    hook(batch, 1)  # the NEXT stream micro-batch must still accrue
+    freq = {r["word"]: r["frequency"]
+            for r in read_learned_table(spark, learned).collect()}
+    assert freq == {"zzyqx": 2}
+    # and the manual approval survived the accrual merge
+    row = read_learned_table(spark, learned).filter("word='zzyqx'").first()
+    assert row["is_approved"]
+
+
 def test_foreach_batch_large_vocab_no_driver_materialization(spark, tmp_path):
     """10^5-word vocabulary accrues through the snapshot protocol (no
     collect); two batches sum frequencies for the overlap."""

@@ -68,6 +68,10 @@ def test_bpe_train_deterministic_and_exact():
     assert BPE.loads(bpe.dumps()).count("lowest newer") == bpe.count(
         "lowest newer"
     )
+    # merges whose first symbol is '#' must survive the round-trip
+    hashy = BPE(train_bpe(["#include #include #include stdio"] * 4, 20))
+    assert any(a.startswith("#") for a, _ in hashy.merges)
+    assert BPE.loads(hashy.dumps()).count("#include") == hashy.count("#include")
     # unseen characters fall back to char-level (+ EOW), never fail
     assert bpe.count("日本") == 3
 
