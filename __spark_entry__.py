@@ -602,7 +602,7 @@ def _dedup_clusters(spark, sf_dir):
     from ocr_spark.operators.dedup import jaccard_near_duplicates, resolve_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = jaccard_near_duplicates(docs, threshold=0.1, k=3)
+    pairs = jaccard_near_duplicates(docs, threshold=0.1, k=3, max_doc_freq=1000)
     return resolve_clusters(pairs, docs, id_col="doc_id")
 
 
@@ -635,7 +635,7 @@ def _dedup_corpus(spark, sf_dir):
     from ocr_spark.operators.dedup import dedup_corpus, jaccard_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = jaccard_near_duplicates(docs, threshold=0.1, k=3)
+    pairs = jaccard_near_duplicates(docs, threshold=0.1, k=3, max_doc_freq=1000)
     return dedup_corpus(pairs, docs).select(
         "doc_id", "source", F.length("text").alias("n_chars")
     )
@@ -1127,7 +1127,7 @@ def _knn_join(spark, sf_dir):
 _KNN_SQL = """
 WITH q AS (SELECT vec_id AS query_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-           FROM embeddings WHERE vec_id < 5),
+           FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL),
 c AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings WHERE vec_id >= 5 AND embedding IS NOT NULL),
 scored AS (

@@ -159,7 +159,11 @@ def estimate_skew(
     scores = [score(a) for a in candidates]
     best = int(np.argmax(scores))
     a0 = candidates[best]
-    fine = np.arange(a0 - step, a0 + step + 1e-9, step / 4)
+    # clip the refinement grid so the estimate never exceeds max_angle —
+    # deskew's contract is that larger skews are left alone, not overshot
+    fine = np.clip(
+        np.arange(a0 - step, a0 + step + 1e-9, step / 4), -max_angle, max_angle
+    )
     fine_scores = [score(a) for a in fine]
     return float(fine[int(np.argmax(fine_scores))])
 

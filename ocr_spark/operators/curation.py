@@ -40,6 +40,7 @@ def curate_corpus(
     drop_lang: str = "und",
     jaccard_threshold: float = 0.1,
     k: int = 3,
+    max_doc_freq: int | None = 1000,
     strata_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -50,6 +51,10 @@ def curate_corpus(
     sampled per-stratum."""
     sh_ids = shingle_ids(text_col, k)
     scored = with_lang_id(with_quality(docs, text_col), text_col)
+    # ONE materialization of the gate survivors (quality/lang scoring is
+    # regex-heavy): every later consumer — the shingle explosion, the
+    # anti-joins, the final projection — derives from this checkpoint, so
+    # the scoring pass never re-executes
     kept = scored.filter(
         (F.col("quality_score") >= min_quality) & (F.col("lang_pred") != drop_lang)
     ).select(
@@ -58,11 +63,11 @@ def curate_corpus(
         "lang_pred",
         "quality_score",
         sh_ids.alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     # the shared shingle explosion: decontamination join + jaccard postings
     ex = kept.select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    ).localCheckpoint(eager=True)
+    )
 
     bench_sh = benchmark.select(F.explode(sh_ids).alias("shingle")).distinct()
     contaminated = (
@@ -72,7 +77,7 @@ def curate_corpus(
     )
     clean_ex = ex.join(contaminated, "id", "left_anti")
 
-    pairs = jaccard_pairs_from_exploded(clean_ex, jaccard_threshold)
+    pairs = jaccard_pairs_from_exploded(clean_ex, jaccard_threshold, max_doc_freq)
     dropped = (
         connected_components(pairs)
         .filter(F.col("cluster") != F.col("id"))

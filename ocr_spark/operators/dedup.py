@@ -92,6 +92,81 @@ def shingle_ids(text_col: str = "text", k: int = 3) -> Column:
     )
 
 
+#: postings up to this size emit their pair set as one flattened array
+#: (fastest); larger ones stream one left-member per row so a single
+#: unsafe row never buffers O(bucket²) structs
+FLAT_PAIRS_MAX = 1024
+
+
+def posting_pairs(
+    posting: DataFrame,
+    docs_col: str,
+    builder,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """i<j member pairs from each posting's array — ONE shared definition
+    for the whole LSH/Jaccard family. ``builder(a, b)`` maps the two
+    member columns to output columns.
+
+    Buffering shape is chosen STATICALLY from the caller's posting-size
+    bound: when a cap ≤ FLAT_PAIRS_MAX is in force, every pair set fits
+    comfortably in one flattened array expression (measured fastest).
+    Without that bound — the exact/uncapped configurations — a hot
+    posting's O(bucket²) pair structs would overflow a single unsafe row
+    (the 2 GB limit lands near 10⁴ members), so pairs stream one left
+    member per row via posexplode + per-row tail slice: ~1.5× slower on
+    small postings, but memory is O(bucket) per row at any skew. The pair
+    VOLUME is inherent and identical either way."""
+    if max_posting is not None and max_posting <= FLAT_PAIRS_MAX:
+        pair_expr = F.flatten(
+            F.transform(
+                F.col(docs_col),
+                lambda a, i: F.transform(
+                    F.slice(F.col(docs_col), i + 2, F.size(F.col(docs_col))),
+                    lambda b: F.struct(*builder(a, b)),
+                ),
+            )
+        )
+        return (
+            posting.filter(F.size(docs_col) >= 2)
+            .select(F.explode(pair_expr).alias("_p"))
+            .select("_p.*")
+        )
+    exploded = posting.filter(F.size(docs_col) >= 2).select(
+        F.col(docs_col).alias("_docs"),
+        F.posexplode(docs_col).alias("_i", "_a"),
+    )
+    tails = exploded.select(
+        "_a",
+        F.explode(
+            F.slice(F.col("_docs"), F.col("_i") + 2, F.size("_docs"))
+        ).alias("_b"),
+    )
+    return tails.select(*builder(F.col("_a"), F.col("_b")))
+
+
+def band_buckets(signature_col: str, n_bands: int) -> Column:
+    """Banded bucket digests for a MinHash signature: md5 over the
+    '|'-joined stringified band slice, one digest per band. ONE definition
+    shared by candidate generation and the fused near-dup pipeline — the
+    SQL oracles reproduce this arithmetic bit-for-bit, so any change must
+    land everywhere at once."""
+    sig = F.col(signature_col)
+    width = (F.size(sig) / n_bands).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(sig, b * width + 1, width),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            )
+        ),
+    )
+
+
 #: sentinel larger than any reachable hash value (h1 < 2^60, i*h2 < 2^44)
 _MINHASH_INIT = 1 << 62
 
@@ -161,49 +236,19 @@ def lsh_candidate_pairs(
     bucket are lost (documented recall trade-off); a bucket that big means
     the docs are near-identical and will still collide in other bands."""
     bands = signatures.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.transform(
-                                F.slice(
-                                    F.col("signature"),
-                                    b * (F.size("signature") / n_bands).cast("int") + 1,
-                                    (F.size("signature") / n_bands).cast("int"),
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                            "|",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("_pos", "bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "id", F.posexplode(band_buckets("signature", n_bands)).alias("band", "bucket")
+    )
     posting = bands.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
+        F.sort_array(F.collect_list("id")).alias("docs")
     )
     if max_bucket_size is not None:
-        posting = posting.filter(F.size("ids") <= max_bucket_size)
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
-    return (
-        posting.filter(F.size("ids") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .select("p.*")
-        .distinct()
-    )
+        posting = posting.filter(F.size("docs") <= max_bucket_size)
+    return posting_pairs(
+        posting,
+        "docs",
+        lambda a, b: [a.alias("id_a"), b.alias("id_b")],
+        max_posting=max_bucket_size,
+    ).distinct()
 
 
 def minhash_near_duplicates(
@@ -232,57 +277,35 @@ def minhash_near_duplicates(
     bands = sigs.select(
         "id",
         "signature",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.slice(
-                                F.col("signature"),
-                                b * (F.size("signature") / n_bands).cast("int") + 1,
-                                (F.size("signature") / n_bands).cast("int"),
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                        "|",
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(band_buckets("signature", n_bands)).alias("band", "bucket"),
     )
     posting = bands.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list(F.struct("id", "signature"))).alias("docs")
     )
     if max_bucket_size is not None:
         posting = posting.filter(F.size("docs") <= max_bucket_size)
-    sim = lambda a, b: F.round(  # noqa: E731
-        F.size(
-            F.filter(
-                F.zip_with(a["signature"], b["signature"], lambda x, y: x == y),
-                lambda eq: eq,
+
+    def pair(a, b):
+        sim = F.round(
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        a["signature"], b["signature"], lambda x, y: x == y
+                    ),
+                    lambda eq: eq,
+                )
             )
+            / F.size(a["signature"]),
+            6,
         )
-        / F.size(a["signature"]),
-        6,
-    )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda a, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"),
-                    b["id"].alias("id_b"),
-                    sim(a, b).alias("sig_sim"),
-                ),
-            ),
-        )
-    )
+        return [
+            a["id"].alias("id_a"),
+            b["id"].alias("id_b"),
+            sim.alias("sig_sim"),
+        ]
+
     return (
-        posting.filter(F.size("docs") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .select("p.*")
+        posting_pairs(posting, "docs", pair, max_posting=max_bucket_size)
         .distinct()
         .filter(F.col("sig_sim") >= threshold)
     )
@@ -359,24 +382,18 @@ def jaccard_pairs_from_exploded(
             .groupBy(F.col("d.id").alias("id"))
             .agg(F.count(F.lit(1)).alias("n_hot"))
         )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda a, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"),
-                    b["id"].alias("id_b"),
-                    a["n_sh"].alias("na"),
-                    b["n_sh"].alias("nb"),
-                ),
-            ),
-        )
-    )
     inter = (
-        posting.filter(F.size("docs") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .select("p.*")
+        posting_pairs(
+            posting,
+            "docs",
+            lambda a, b: [
+                a["id"].alias("id_a"),
+                b["id"].alias("id_b"),
+                a["n_sh"].alias("na"),
+                b["n_sh"].alias("nb"),
+            ],
+            max_posting=max_doc_freq,
+        )
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -568,25 +585,18 @@ def simhash_near_duplicates(
     posting = with_blocks.groupBy("block_idx", "block_val").agg(
         F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("docs")
     )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda a, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"),
-                    b["id"].alias("id_b"),
-                    F.bit_count(a["simhash"].bitwiseXOR(b["simhash"])).alias(
-                        "hamming"
-                    ),
-                ),
-            ),
-        )
-    )
     return (
-        posting.filter(F.size("docs") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .select("p.*")
+        posting_pairs(
+            posting,
+            "docs",
+            lambda a, b: [
+                a["id"].alias("id_a"),
+                b["id"].alias("id_b"),
+                F.bit_count(a["simhash"].bitwiseXOR(b["simhash"])).alias(
+                    "hamming"
+                ),
+            ],
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -107,10 +107,13 @@ def key_stats(
     """A3 aggregate (db_service.py:176-193 stats_api_key): total / active /
     revoked key counts + total request count, over :func:`key_usage`."""
     usage = key_usage(df, key_col, ts_col, active_days)
+    # revoked = NOT-active including NULL last_used (all-null timestamps):
+    # `when(~is_active)` would count such keys in NEITHER bucket, making
+    # active+revoked != total and diverging from the SQL oracle's ELSE arm
     return usage.agg(
         F.count(F.lit(1)).alias("total_keys"),
         F.sum(F.when(F.col("is_active"), 1).otherwise(0)).alias("active_keys"),
-        F.sum(F.when(~F.col("is_active"), 1).otherwise(0)).alias("revoked_keys"),
+        F.sum(F.when(F.col("is_active"), 0).otherwise(1)).alias("revoked_keys"),
         F.sum("requests_count").alias("total_requests"),
     )
 

@@ -68,8 +68,8 @@ def read_binary_documents(
     # (which the audit view, matching case-insensitively, wouldn't list
     # either: data would vanish from the accounting)
     classes = sorted(
-        "".join(f"[{c.lower()}{c.upper()}]" for c in e.lower())
-        for e in set(extensions)
+        "".join(f"[{c.lower()}{c.upper()}]" for c in e)
+        for e in {e.lower() for e in extensions}
     )
     globs = "{" + ",".join(classes) + "}"
     df = (

@@ -312,13 +312,29 @@ def commit_learned_snapshot(
     must stay separate: if a CLI mutation advanced the replay guard, a
     resumed stream would treat genuinely new micro-batches as replays and
     silently drop their counts. A CLI commit passes
-    ``stream_batch_id=state['batch_id']`` unchanged."""
+    ``stream_batch_id=state['batch_id']`` unchanged.
+
+    Optimistic concurrency: the commit ABORTS (RuntimeError) if another
+    writer advanced the pointer to ``version`` or beyond since this
+    writer read its base state — without the check, a CLI mutation racing
+    a live stream would rmtree the snapshot ``_CURRENT`` references and
+    roll the replay guard backwards (lost accruals + double counts). The
+    caller retries from a fresh read."""
     root.mkdir(parents=True, exist_ok=True)
     snap = f"v{version:010d}"
     tmp = root / f"_tmp-{snap}"
     if tmp.exists():
         shutil.rmtree(tmp)  # leftover from a crashed attempt
     merged.write.mode("overwrite").parquet(str(tmp))
+    current = _learned_state(root)
+    if current is not None and current.get(
+        "version", current.get("batch_id", -1)
+    ) >= version:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"concurrent learned-table commit: {root} already at "
+            f"{current['snapshot']} (>= v{version:010d}); re-read and retry"
+        )
     final = root / snap
     if final.exists():
         shutil.rmtree(final)  # crashed after rename, before pointer swap

@@ -188,6 +188,31 @@ def test_learning_snapshot_commit_roundtrip(spark, tmp_path):
     assert len(snaps) == 2  # keep_snapshots=2 GC'd v0
 
 
+def test_snapshot_commit_aborts_on_conflict(spark, tmp_path):
+    """Optimistic concurrency: a commit whose version was already taken by
+    another writer must abort, not clobber the live snapshot."""
+    import pathlib
+
+    import pytest
+
+    from ocr_spark.streaming.extract_stream import (
+        commit_learned_snapshot,
+        read_learned_table,
+    )
+
+    root = pathlib.Path(tmp_path / "learned_race")
+    schema = "word string, frequency long, is_approved boolean"
+    a = spark.createDataFrame([("a", 1, False)], schema)
+    b = spark.createDataFrame([("b", 2, False)], schema)
+    commit_learned_snapshot(a, root, 0)
+    commit_learned_snapshot(b, root, 1)
+    # a stale writer that also computed version 1 must fail loudly...
+    with pytest.raises(RuntimeError, match="concurrent"):
+        commit_learned_snapshot(a, root, 1)
+    # ...and the live table is untouched
+    assert read_learned_table(spark, str(root)).first()["word"] == "b"
+
+
 def test_s5_export_sink_and_reimport(spark, tmp_path):
     """The full S5 export surface (routers/learning.py:184-248): sectioned
     rows, version-header meta envelope, pending cap, approved_only variant,
