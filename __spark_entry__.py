@@ -576,20 +576,34 @@ def _jaccard_near_dup(spark, sf_dir):
     from ocr_spark.operators.dedup import jaccard_near_duplicates
 
     return jaccard_near_duplicates(
-        _t(spark, sf_dir, "documents"), threshold=0.1, k=3, max_doc_freq=1000
+        _t(spark, sf_dir, "documents"), threshold=0.1, k=3, max_doc_freq=_JACCARD_CAP
     )
 
 
+#: hot-shingle document-frequency cap used by every jaccard-family entry —
+#: mirrored in the SQL oracles below so Spark/oracle equality holds at ANY
+#: scale factor, not just where the cap happens to be inert
+_JACCARD_CAP = 1000
+
+# Capped-universe Jaccard: shingles with doc frequency > cap leave the
+# universe (intersections AND set sizes) — the exact semantics of the Spark
+# operator's max_doc_freq. With no over-cap shingle this reduces to the
+# plain exact Jaccard (sizes == len(shingles), every posting kept).
 _JACCARD_SQL = f"""
-WITH sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM ({_SHINGLES_SQL})),
-ex AS (SELECT doc_id, n,
-              ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
-       FROM sized)
+WITH sized AS (SELECT doc_id, shingles FROM ({_SHINGLES_SQL})),
+ex0 AS (SELECT doc_id,
+               ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+        FROM sized),
+ex AS (SELECT * FROM ex0
+       WHERE s IN (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {_JACCARD_CAP})),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 6) AS jaccard
+       ROUND(CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)), 6) AS jaccard
 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id, a.n, b.n
-HAVING ROUND(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 6) >= 0.1
+JOIN sizes sa ON sa.doc_id = a.doc_id
+JOIN sizes sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+HAVING ROUND(CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)), 6) >= 0.1
 """
 
 
@@ -602,7 +616,7 @@ def _dedup_clusters(spark, sf_dir):
     from ocr_spark.operators.dedup import jaccard_near_duplicates, resolve_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = jaccard_near_duplicates(docs, threshold=0.1, k=3, max_doc_freq=1000)
+    pairs = jaccard_near_duplicates(docs, threshold=0.1, k=3, max_doc_freq=_JACCARD_CAP)
     return resolve_clusters(pairs, docs, id_col="doc_id")
 
 
@@ -635,7 +649,7 @@ def _dedup_corpus(spark, sf_dir):
     from ocr_spark.operators.dedup import dedup_corpus, jaccard_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = jaccard_near_duplicates(docs, threshold=0.1, k=3, max_doc_freq=1000)
+    pairs = jaccard_near_duplicates(docs, threshold=0.1, k=3, max_doc_freq=_JACCARD_CAP)
     return dedup_corpus(pairs, docs).select(
         "doc_id", "source", F.length("text").alias("n_chars")
     )
@@ -919,6 +933,7 @@ def _curate_corpus(spark, sf_dir):
         min_quality=50,
         jaccard_threshold=0.1,
         k=3,
+        max_doc_freq=_JACCARD_CAP,
     )
     return out.select(
         F.col("id").alias("doc_id"),
@@ -965,16 +980,21 @@ contaminated AS (
   JOIN bench b ON t.s = b.s
 ),
 clean AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+sized AS (SELECT doc_id, shingles FROM sh
           WHERE doc_id IN (SELECT doc_id FROM clean)),
-ex AS (SELECT doc_id, n,
-              ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
-       FROM sized),
+ex0 AS (SELECT doc_id,
+               ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+        FROM sized),
+ex AS (SELECT * FROM ex0
+       WHERE s IN (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {_JACCARD_CAP})),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id, a.n, b.n
-  HAVING ROUND(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 6) >= 0.1
+  JOIN sizes sa ON sa.doc_id = a.doc_id
+  JOIN sizes sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+  HAVING ROUND(CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)), 6) >= 0.1
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs

@@ -161,9 +161,13 @@ def estimate_skew(
     a0 = candidates[best]
     # clip the refinement grid so the estimate never exceeds max_angle —
     # deskew's contract is that larger skews are left alone, not overshot
-    fine = np.clip(
-        np.arange(a0 - step, a0 + step + 1e-9, step / 4), -max_angle, max_angle
-    )
+    fine = np.unique(
+        np.clip(
+            np.arange(a0 - step, a0 + step + 1e-9, step / 4),
+            -max_angle,
+            max_angle,
+        )
+    )  # unique: clipped boundary duplicates would re-score identical rotations
     fine_scores = [score(a) for a in fine]
     return float(fine[int(np.argmax(fine_scores))])
 

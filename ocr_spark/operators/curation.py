@@ -4,13 +4,13 @@ Chains the gates a corpus pass actually runs — quality score, language ID,
 benchmark decontamination, near-dup cluster dedup, deterministic stratified
 sampling — sharing work the naive operator chain recomputes:
 
-* quality + lang-ID features come from one narrow pass;
-* the shingle explosion is built ONCE for the gate-surviving docs and
-  ``localCheckpoint``-ed, then feeds BOTH the decontamination join and the
-  Jaccard posting lists (recomputing it means running the tokenize+md5
-  pass twice — extraction-style work at ~1000× compute per byte, so
-  materializing the ~2× exploded form is the cheaper side of the
-  trade at any scale; swap for reliable ``checkpoint`` on a cluster);
+* the gate SURVIVORS (quality + lang-ID features + shingle-id arrays,
+  one narrow scoring pass) are ``localCheckpoint``-ed once; every later
+  consumer — the shingle explosion feeding both the decontamination join
+  and the Jaccard posting lists, the anti-joins, the final projection —
+  derives from that materialization, so the regex-heavy scoring and
+  tokenize+md5 work (extraction-style, ~1000× compute per byte) never
+  re-executes (swap for reliable ``checkpoint`` on a cluster);
 * pair→cluster resolution and the final anti-join reuse the dedup
   operators unchanged.
 

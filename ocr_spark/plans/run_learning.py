@@ -74,9 +74,15 @@ def main() -> int:
     def commit(df) -> None:
         # preserve the streaming replay guard: a CLI mutation must NOT
         # advance batch_id, or a resumed stream drops genuine micro-batches
-        commit_learned_snapshot(
-            df, root, next_version, stream_batch_id=state.get("batch_id")
-        )
+        try:
+            commit_learned_snapshot(
+                df, root, next_version, stream_batch_id=state.get("batch_id")
+            )
+        except RuntimeError as e:
+            # lost a race against another writer (e.g. a live stream):
+            # report on the JSON contract and let the operator retry
+            print(json.dumps({"error": "conflict", "detail": str(e)}))
+            raise SystemExit(2)
 
     now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
     words = [w for w in args.words.split(",") if w.strip()]

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import pathlib
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -275,22 +276,35 @@ def learning_foreach_batch(learned_table_path: str, keep_snapshots: int = 2):
         spark = batch_df.sparkSession
         root = pathlib.Path(learned_table_path)
         root.mkdir(parents=True, exist_ok=True)
-        state = _learned_state(root)
-        last_stream = state.get("batch_id") if state else None
-        if last_stream is not None and batch_id <= last_stream:
-            return  # at-least-once replay of an already-applied micro-batch
-        existing = (
-            spark.read.parquet(str(root / state["snapshot"])) if state else None
-        )
-        merged = accrue_learned(existing, epoch_word_counts(batch_df))
-        # .get fallback: pointers written before the version/batch_id split
-        version = (
-            state.get("version", state.get("batch_id", -1)) + 1 if state else 0
-        )
-        commit_learned_snapshot(
-            merged, root, version, stream_batch_id=batch_id,
-            keep_snapshots=keep_snapshots,
-        )
+        # retry loop: a commit lost to a concurrent admin (CLI) writer is
+        # re-merged against the fresh snapshot — dropping the batch would
+        # lose its counts, and propagating would kill the whole stream
+        for attempt in range(3):
+            state = _learned_state(root)
+            last_stream = state.get("batch_id") if state else None
+            if last_stream is not None and batch_id <= last_stream:
+                return  # at-least-once replay of an applied micro-batch
+            existing = (
+                spark.read.parquet(str(root / state["snapshot"]))
+                if state
+                else None
+            )
+            merged = accrue_learned(existing, epoch_word_counts(batch_df))
+            # .get fallback: pointers from before the version/batch_id split
+            version = (
+                state.get("version", state.get("batch_id", -1)) + 1
+                if state
+                else 0
+            )
+            try:
+                commit_learned_snapshot(
+                    merged, root, version, stream_batch_id=batch_id,
+                    keep_snapshots=keep_snapshots,
+                )
+                return
+            except RuntimeError:
+                if attempt == 2:
+                    raise  # persistent contention: surface it
 
     return hook
 
@@ -314,32 +328,53 @@ def commit_learned_snapshot(
     silently drop their counts. A CLI commit passes
     ``stream_batch_id=state['batch_id']`` unchanged.
 
-    Optimistic concurrency: the commit ABORTS (RuntimeError) if another
-    writer advanced the pointer to ``version`` or beyond since this
-    writer read its base state — without the check, a CLI mutation racing
-    a live stream would rmtree the snapshot ``_CURRENT`` references and
-    roll the replay guard backwards (lost accruals + double counts). The
-    caller retries from a fresh read."""
+    Optimistic concurrency: the commit raises ``RuntimeError`` when
+    another writer took this ``version`` first. The ARBITER is the
+    atomic ``rename(tmp → v{version})`` — each writer stages into a
+    uniquely named tmp dir, so concurrent same-version writers can't
+    delete each other's in-flight output, and exactly one rename wins;
+    the loser cleans up and raises. A pointer re-check immediately before
+    the swap keeps a slower lower-version writer from regressing
+    ``_CURRENT`` past a higher commit. Callers retry from a fresh read
+    (the streaming hook does; the CLI reports and exits). This is a
+    plain-filesystem protocol: it makes every detectable race an error
+    instead of a silent clobber — a metastore/Iceberg commit transaction
+    is the deployment-grade version."""
     root.mkdir(parents=True, exist_ok=True)
     snap = f"v{version:010d}"
-    tmp = root / f"_tmp-{snap}"
-    if tmp.exists():
-        shutil.rmtree(tmp)  # leftover from a crashed attempt
+    tmp = root / f"_tmp-{snap}-{uuid.uuid4().hex[:8]}"  # per-writer staging
     merged.write.mode("overwrite").parquet(str(tmp))
-    current = _learned_state(root)
-    if current is not None and current.get(
-        "version", current.get("batch_id", -1)
-    ) >= version:
-        shutil.rmtree(tmp)
-        raise RuntimeError(
-            f"concurrent learned-table commit: {root} already at "
-            f"{current['snapshot']} (>= v{version:010d}); re-read and retry"
+
+    def conflict(reason: str):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return RuntimeError(
+            f"concurrent learned-table commit on {root}: {reason}; "
+            f"re-read state and retry"
         )
+
+    def current_version():
+        cur = _learned_state(root)
+        if cur is None:
+            return -1
+        return cur.get("version", cur.get("batch_id", -1))
+
+    if current_version() >= version:
+        raise conflict(f"pointer already at or past v{version:010d}")
     final = root / snap
     if final.exists():
-        shutil.rmtree(final)  # crashed after rename, before pointer swap
-    tmp.rename(final)
-    ptr_tmp = root / f"{LEARNED_CURRENT}.tmp"
+        # pointer is older than this version, so nothing references the
+        # dir: debris from a writer that crashed between rename and swap
+        shutil.rmtree(final)
+    try:
+        tmp.rename(final)  # the arbiter: exactly one same-version winner
+    except OSError as e:
+        raise conflict(f"lost the rename race for {snap}") from e
+    if current_version() >= version:  # re-check just before the swap
+        raise RuntimeError(
+            f"concurrent learned-table commit on {root}: pointer advanced "
+            f"past v{version:010d} after rename; snapshot left for GC"
+        )
+    ptr_tmp = root / f"{LEARNED_CURRENT}.tmp-{uuid.uuid4().hex[:8]}"
     ptr_tmp.write_text(
         json.dumps(
             {"snapshot": snap, "version": version, "batch_id": stream_batch_id}
