@@ -431,6 +431,58 @@ FROM events GROUP BY event_type
 """
 
 
+#: fixed pivot column list — explicit values keep the output schema
+#: deterministic (and Catalyst skips the extra distinct-values job)
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _a11_type_pivot(spark, sf_dir):
+    """Pivot family: daily event counts pivoted to one column per event
+    type. The explicit value list makes the schema deterministic and
+    avoids the distinct-scan Catalyst otherwise runs; the oracle is the
+    equivalent conditional aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.to_date("ts").alias("date"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot leaves NULL for absent combinations; zero-fill for the compare
+    return out.select(
+        "date", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+_A11_SQL = """
+SELECT CAST(ts AS DATE) AS date,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events GROUP BY 1
+"""
+
+
+def _a12_distinct_users(spark, sf_dir):
+    """Distinct-aggregation family: exact distinct users + events per type
+    (count(DISTINCT x) expands to a two-stage aggregate — the shape to
+    know before reaching for approx_count_distinct at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_A12_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def _a9_event_pagination(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1617,6 +1669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_key_stats": _a3_key_stats,
         "a3_key_usage": _a3_key_usage,
         "a5_counts_by_type": _a5_counts_by_type,
+        "a11_type_pivot": _a11_type_pivot,
+        "a12_distinct_users": _a12_distinct_users,
         "a7_word_frequency": _a7_word_frequency,
         "a8_top_pending": _a8_top_pending,
         "a9_event_pagination": _a9_event_pagination,
@@ -1684,6 +1738,8 @@ def oracle_sql() -> dict[str, str]:
         "a3_key_stats": _A3_SQL,
         "a3_key_usage": _A3_USAGE_SQL,
         "a5_counts_by_type": _A5_SQL,
+        "a11_type_pivot": _A11_SQL,
+        "a12_distinct_users": _A12_SQL,
         "a7_word_frequency": _A7_SQL,
         "a8_top_pending": _A8_SQL,
         "a9_event_pagination": _A9_SQL,
