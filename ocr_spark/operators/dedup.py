@@ -488,30 +488,49 @@ def stratified_sample(
 # ---------------------------------------------------------------------------
 
 
-def _simhash64(token_lists: pd.Series) -> pd.Series:
+def _simhash64(token_lists: pd.Series, _cache: dict | None = None) -> pd.Series:
     """64-bit SimHash per token list: per token take the top-64-bit md5,
     vote +1/-1 per bit position, bit = 1 where the vote sum is positive.
-    Returns signed int64 (Spark LongType has no unsigned variant)."""
-    out = []
-    for toks in token_lists:
-        votes = [0] * 64
-        for t in toks if toks is not None else []:
-            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-            for b in range(64):
-                votes[b] += 1 if (h >> (63 - b)) & 1 else -1
-        v = 0
-        for b in range(64):
-            if votes[b] > 0:
-                v |= 1 << (63 - b)
+    Returns signed int64 (Spark LongType has no unsigned variant).
+
+    Vectorized: each token's 8 digest bytes unpack to a 64-wide bit row
+    (``np.unpackbits`` is MSB-first, matching ``(h >> (63-b)) & 1``); the
+    per-doc vote is one column sum, and ``votes > 0`` is the exact integer
+    comparison ``2·ones > n_tokens`` — bit-identical to the scalar loop
+    (pinned by test_dedup). Token→bit-row results are memoized in
+    ``_cache`` (natural-language token frequency is Zipfian, so across a
+    partition most md5 calls are repeats)."""
+    import numpy as np
+
+    cache: dict = {} if _cache is None else _cache
+    out = np.zeros(len(token_lists), dtype=np.int64)
+    for i, toks in enumerate(token_lists):
+        if toks is None or len(toks) == 0:
+            continue
+        rows = []
+        for t in toks:
+            bits = cache.get(t)
+            if bits is None:
+                bits = np.unpackbits(
+                    np.frombuffer(
+                        hashlib.md5(t.encode()).digest()[:8], dtype=np.uint8
+                    )
+                )
+                cache[t] = bits
+            rows.append(bits)
+        ones = np.stack(rows).sum(axis=0, dtype=np.int64)
+        vbits = (2 * ones > len(rows)).astype(np.uint8)
+        v = int.from_bytes(np.packbits(vbits).tobytes(), "big")
         # two's-complement into signed int64
-        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        out[i] = v - (1 << 64) if v >= (1 << 63) else v
     return pd.Series(out, dtype="int64")
 
 
 @pandas_udf(LongType())
 def simhash64_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    cache: dict = {}  # shared across this partition's Arrow batches
     for token_lists in batches:
-        yield _simhash64(token_lists)
+        yield _simhash64(token_lists, cache)
 
 
 def with_simhash(

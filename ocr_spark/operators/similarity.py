@@ -224,38 +224,114 @@ def knn_join(
     retrieval / near-dup-audit workload shape, vs the single-query
     :func:`cosine_topk`). Returns (query_id, id, score, rank).
 
-    Shape: the query side broadcasts (it is the small side by design —
-    probes, eval sets, centroids); scoring is a narrow
-    corpus-×-broadcast-queries pass with per-row norms hoisted out of the
-    pair expression; per-query top-k is one window over the scored rows,
-    shuffled by query_id only. At 10⁹ corpus rows × 10³ queries that is a
-    scan-bound map stage plus a (rows × k)-sized shuffle — no corpus
-    self-join anywhere. For huge query sets, partition the query side and
-    union the per-chunk results (same plan per chunk)."""
-    from pyspark.sql import Window
+    Shape: the query side is the small side by design (probes, eval sets,
+    centroids) — it is materialized ONCE into a normalized numpy matrix and
+    ships to executors inside the UDF closure (the Python rendition of a
+    broadcast). Scoring + per-query PARTIAL top-k happen per corpus
+    partition inside one ``mapInPandas`` pass: each Arrow batch is scored
+    against all queries with a single matmul, and each partition emits at
+    most queries × k rows. The final exact rank is then a window over
+    partitions × queries × k rows — NOT over the |corpus| × |queries|
+    scored cross-product (which would land each query's entire corpus on a
+    single task: the shuffle-per-task is O(|corpus|) there and a guaranteed
+    straggler/OOM at 10⁹ corpus rows). At 10⁹ × 10³ this plan is a
+    scan-bound narrow stage plus a tiny shuffle. For huge query sets,
+    partition the query side and union the per-chunk results (same plan
+    per chunk).
 
-    q = queries.filter(F.col(query_vec_col).isNotNull()).select(
-        F.col(query_id_col).alias("query_id"),
-        _as_double(query_vec_col).alias("qv"),
-    ).withColumn("qn", norm(F.col("qv")))
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).withColumn("vn", norm(F.col("v")))
-    denom = F.col("vn") * F.col("qn")
-    score = F.round(
-        F.when(denom == 0, F.lit(0.0)).otherwise(dot(F.col("v"), F.col("qv")) / denom),
-        6,
+    Determinism: scores round to 6 dp BEFORE selection and the partial
+    top-k uses the same (score desc, id asc) order as the final rank, so
+    the map-side cut keeps exactly the rows the exact window would — the
+    result is identical to the brute-force cross-join + window (the SQL
+    oracle's shape) including ties."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qrows = (
+        queries.filter(F.col(query_vec_col).isNotNull())
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(query_vec_col).alias("qv"),
+        )
+        .collect()
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id", "id", score.alias("score")
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            StructField("id", corpus.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+        ]
+    )
+    if not qrows:
+        return corpus.sparkSession.createDataFrame([], out_schema).select(
+            "query_id", "id", "score", F.lit(1).alias("rank")
+        ).limit(0)
+    qids = [r["query_id"] for r in qrows]
+    qm = np.array([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    qn[qn == 0] = np.inf  # zero-norm query scores 0 against everything
+    qmat = (qm / qn[:, None]).T  # dim × n_queries, queries pre-normalized
+
+    def topk_per_query(batches):
+        nq = len(qids)
+        buf_ids: list[list] = [[] for _ in range(nq)]
+        buf_scores: list[list] = [[] for _ in range(nq)]
+        for pdf in batches:
+            mask = pdf[vec_col].notna()
+            if not mask.any():
+                continue
+            ids_all = pdf.loc[mask, id_col].to_numpy()
+            m = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf.loc[mask, vec_col]]
+            )
+            norms = np.sqrt((m * m).sum(axis=1))
+            norms[norms == 0] = np.inf  # zero-norm corpus row scores 0
+            scores = np.round((m @ qmat) / norms[:, None], 6)  # batch × nq
+            for j in range(nq):
+                s = scores[:, j]
+                sel = (
+                    np.lexsort((ids_all, -s))[:k] if len(s) > k
+                    else np.arange(len(s))
+                )
+                buf_ids[j].extend(ids_all[sel].tolist())
+                buf_scores[j].extend(s[sel].tolist())
+        out_q, out_i, out_s = [], [], []
+        for j in range(nq):
+            if not buf_ids[j]:
+                continue
+            bi = np.asarray(buf_ids[j])
+            bs = np.asarray(buf_scores[j])
+            sel = np.lexsort((bi, -bs))[:k]
+            out_q.extend([qids[j]] * len(sel))
+            out_i.extend(bi[sel].tolist())
+            out_s.extend(bs[sel].tolist())
+        yield pd.DataFrame({"query_id": out_q, "id": out_i, "score": out_s})
+
+    per_part = corpus.select(id_col, vec_col).mapInPandas(
+        topk_per_query, out_schema
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
     return (
-        scored.select(
+        per_part.select(
             "query_id", "id", "score", F.row_number().over(w).alias("rank")
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def derive_n_planes(n_rows: int, target_bucket: int = 64) -> int:
+    """Plane count for :func:`embedding_near_duplicates` from the corpus
+    size: ~n/2^planes rows per bucket on uniform data, so planes =
+    ceil(log2(n / target_bucket)) keeps expected bucket size near
+    ``target_bucket`` (candidate volume ≈ n·target/2 pairs, linear in n).
+    More planes → smaller buckets → fewer candidates but lower recall per
+    table; recover recall with ``n_tables`` > 1 (independent plane sets —
+    a pair is a candidate if it collides in ANY table). Bounded to [1, 30]."""
+    if n_rows <= target_bucket:
+        return 1
+    return min(30, max(1, math.ceil(math.log2(n_rows / target_bucket))))
 
 
 def embedding_near_duplicates(
@@ -266,10 +342,27 @@ def embedding_near_duplicates(
     n_planes: int = 6,
     seed: int = 7,
     dim: int | None = None,
+    n_tables: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH-bucketed self-join + exact
-    verification. Only same-bucket pairs are scored; n_planes trades recall
-    for join fan-in. Returns (id_a, id_b, cos) with cos ≥ threshold.
+    """Embedding-cosine near-dup pairs via LSH bucketing + exact
+    verification. Only same-bucket pairs are scored; ``n_planes`` trades
+    candidate volume for recall (derive it from the corpus size with
+    :func:`derive_n_planes`); ``n_tables`` independent plane sets (seeds
+    seed, seed+1, …) re-probe near-boundary pairs, so recall ≈
+    1-(1-p^planes)^tables at tables× the bucketing cost. Returns
+    (id_a, id_b, cos) with cos ≥ threshold.
+
+    Physical shape: POSTING LISTS, the same single-shuffle pattern as the
+    jaccard/minhash/simhash family — one groupBy on the bucket key collects
+    (id, vec, norm) members, each posting emits its i<j pairs from an array
+    expression, cross-table duplicates fold in the final distinct. No
+    two-sided self-join (one shuffle of the bucketed rows instead of two
+    Exchange+sort sides; the per-row norm is computed once in the narrow
+    stage, not per pair). ``max_bucket_size`` is the family's hot-bucket
+    cap: a degenerate bucket (mass-duplicated embedding) would emit n²
+    pairs; over-cap postings are dropped before pair generation (documented
+    recall trade-off, inert at oracle scale).
 
     Pass ``dim`` explicitly where known (the embedding width is part of the
     table contract) — it keeps the call plan-only. When omitted, ONE probe
@@ -292,31 +385,39 @@ def embedding_near_duplicates(
             )
             return df.sparkSession.createDataFrame([], empty)
         dim = len(probe[0][0])
-    planes = hyperplanes(dim, n_planes, seed)
-    # per-row norm computed ONCE in the narrow stage — computing it inside
-    # the pair score would redo the O(dim) fold for every candidate pair
-    # (each row appears in ~bucket_size pairs); same floats, same rounding
+    from ocr_spark.operators.dedup import posting_pairs
+
+    buckets = F.array(
+        *[
+            F.concat(
+                F.lit(f"{t}:"),
+                sign_bucket(F.col(vec_col), hyperplanes(dim, n_planes, seed + t)),
+            )
+            for t in range(n_tables)
+        ]
+    )
     bucketed = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+        _as_double(vec_col).alias("vd"),
         norm(_as_double(vec_col)).alias("n"),
-        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.explode(buckets).alias("bucket"),
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    cos = F.round(
-        dot(F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>"))
-        / (F.col("a.n") * F.col("b.n")),
-        6,
+    posting = bucketed.groupBy("bucket").agg(
+        F.sort_array(F.collect_list(F.struct("id", "vd", "n"))).alias("docs")
     )
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+    if max_bucket_size is not None:
+        posting = posting.filter(F.size("docs") <= max_bucket_size)
+
+    def pair(a, b):
+        cos = F.round(dot(a["vd"], b["vd"]) / (a["n"] * b["n"]), 6)
+        return [
+            a["id"].alias("id_a"),
+            b["id"].alias("id_b"),
             cos.alias("cos"),
-        )
+        ]
+
+    return (
+        posting_pairs(posting, "docs", pair, max_posting=max_bucket_size)
         .filter(F.col("cos") >= threshold)
         .distinct()
     )

@@ -377,3 +377,35 @@ def test_lsh_hot_bucket_cap(spark):
     # uncapped finds the identical docs
     full = lsh_candidate_pairs(sigs).where(F.col("id_a") < 300)
     assert full.count() == 300 * 299 / 2
+
+
+def test_simhash_vectorized_matches_scalar_reference():
+    """The numpy unpackbits/vote implementation must be bit-identical to
+    the definitional per-bit scalar loop (the pre-vectorization shape)."""
+    import hashlib
+    import random
+
+    import pandas as pd
+
+    from ocr_spark.operators.dedup import _simhash64
+
+    def scalar(toks):
+        votes = [0] * 64
+        for t in toks:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for b in range(64):
+                votes[b] += 1 if (h >> (63 - b)) & 1 else -1
+        v = 0
+        for b in range(64):
+            if votes[b] > 0:
+                v |= 1 << (63 - b)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rng = random.Random(5)
+    words = ["tok%d" % i for i in range(300)] + ["unicode-ş", "ña", "中文"]
+    lists = [
+        rng.sample(words, rng.randrange(0, 40)) for _ in range(200)
+    ] + [[], None, ["a"]]
+    got = _simhash64(pd.Series(lists, dtype="object"))
+    for toks, v in zip(lists, got):
+        assert v == scalar(toks or [])

@@ -215,3 +215,33 @@ def test_textstats_stay_jvm_side(docs):
         # the tokenizing regex must run once per row — staged projections
         # keep CollapseProject from inlining it into every consumer
         assert plan.count("regexp_extract_all") == 1, op.__name__
+
+
+def test_knn_join_window_sees_partial_topk_not_cross_product(spark):
+    """The per-query rank window must consume the mapInPandas partial
+    top-k (≤ partitions × queries × k rows), NOT the |corpus| × |queries|
+    scored cross-product — the cross-product-into-window shape lands each
+    query's entire corpus on one task (single-task OOM at 10⁹ rows)."""
+    from ocr_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(knn_join(emb.filter(F.col("vec_id") >= 5),
+                          emb.filter(F.col("vec_id") < 5), k=5))
+    assert "MapInPandas" in plan  # map-side partial top-k per query
+    # no join of any kind feeds the window: the query side ships in the
+    # UDF closure, so the only plan nodes are scan → UDF → window
+    for join_node in ("BroadcastNestedLoopJoin", "CartesianProduct",
+                      "SortMergeJoin", "BroadcastHashJoin"):
+        assert join_node not in plan
+
+
+def test_embedding_near_dup_posting_shape_no_self_join(spark):
+    """The pair source is a single groupBy posting list (one Exchange for
+    the buckets + one for the distinct), not a two-sided bucket self-join."""
+    from ocr_spark.operators.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(embedding_near_duplicates(emb, threshold=0.9, n_planes=4, dim=16))
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_node not in plan
+    assert plan.count("Exchange") <= 2

@@ -186,3 +186,55 @@ def test_hyperplanes_deterministic():
     assert a == b and a != c
     for p in a:
         assert abs(sum(x * x for x in p) - 1.0) < 1e-9
+
+
+def test_multi_table_lsh_recall_dominates_single_table(vectors):
+    """Table t=0 reuses the base seed, so every L=1 pair survives into the
+    L=2 candidate set: pairs(n_tables=2) ⊇ pairs(n_tables=1), with the
+    extra tables only ever ADDING near-boundary pairs."""
+    df, _ = vectors
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(df, threshold=0.9, n_planes=6).collect()
+    }
+    two = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.9, n_planes=6, n_tables=2
+        ).collect()
+    }
+    assert one <= two
+    # the planted near-dup pair must be found either way
+    assert (0, 200) in one
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """A degenerate bucket (mass-duplicated embedding) is dropped by the
+    cap before pair generation; small buckets are untouched."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]  # one hot bucket
+    rows += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.001, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = embedding_near_duplicates(df, threshold=0.99, n_planes=4, dim=4)
+    capped = embedding_near_duplicates(
+        df, threshold=0.99, n_planes=4, dim=4, max_bucket_size=10
+    )
+    assert uncapped.count() == 50 * 49 // 2 + 1
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(100, 101)}
+
+
+def test_derive_n_planes_tracks_corpus_size():
+    from ocr_spark.operators.similarity import derive_n_planes
+
+    assert derive_n_planes(10) == 1
+    assert derive_n_planes(64_000, target_bucket=64) == 10
+    assert derive_n_planes(10**9, target_bucket=64) == 24
+    assert derive_n_planes(10**30) == 30  # bounded
+
+
+def test_knn_join_empty_query_side(spark, vectors):
+    from ocr_spark.operators.similarity import knn_join
+
+    df, _ = vectors
+    out = knn_join(df, df.limit(0), k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "id", "score", "rank"]
