@@ -164,10 +164,20 @@ def write_learned_export(
     a ``_meta.json`` version header matching the reference's ExportResponse
     envelope (version / export_date / totals). The rows scale out through
     ``df.write.json``; only the tiny per-section counts touch the driver.
-    Returns the meta dict."""
-    import json
-    import pathlib
+    Returns the meta dict.
 
+    LOCAL-FILESYSTEM contract: the meta header is written with pathlib +
+    atomic rename while the rows go through the Hadoop sink — on an
+    object-store/HDFS path the two halves would land in different
+    filesystems, so URI-schemed paths are rejected loudly (same contract
+    as the versioned learned-table root; route exports to local disk and
+    ship, or swap the meta write for the Hadoop FileSystem API when
+    deploying against a remote store)."""
+    import json
+
+    from ocr_spark.streaming.extract_stream import _require_local_path
+
+    root = _require_local_path(path, "learned export path")
     rows = export_learned_words(learned, approved_only, pending_limit).persist()
     try:
         rows.write.mode("overwrite").json(f"{path}/words")
@@ -187,7 +197,6 @@ def write_learned_export(
         "pending_count": counts.get("pending", 0),
         "export_type": "approved_only" if approved_only else "full",
     }
-    root = pathlib.Path(path)
     root.mkdir(parents=True, exist_ok=True)
     tmp = root / "_meta.json.tmp"
     tmp.write_text(json.dumps(meta, indent=1))

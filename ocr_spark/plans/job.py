@@ -72,7 +72,15 @@ class ExtractionJob:
         if not path:
             return None
         # versioned learned tables (streaming accrual) commit through a
-        # _CURRENT pointer — resolve it; plain parquet dirs read directly
+        # _CURRENT pointer — resolve it; plain parquet dirs read directly.
+        # Pointer resolution shares the versioned-table root's LOCAL-
+        # filesystem contract (extract_stream._require_local_path): on a
+        # URI-schemed path the pathlib probe would silently miss the
+        # pointer and read the whole multi-snapshot dir, so reject it.
+        if "://" in path and not path.startswith("file://"):
+            from ocr_spark.streaming.extract_stream import _require_local_path
+
+            _require_local_path(path, "learned words path")  # raises
         cur = pathlib.Path(path) / "_CURRENT"
         if cur.exists():
             path = str(pathlib.Path(path) / json.loads(cur.read_text())["snapshot"])

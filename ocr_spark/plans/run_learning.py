@@ -58,6 +58,7 @@ def main() -> int:
     from ocr_spark.streaming.extract_stream import (
         _learned_state,
         commit_learned_snapshot,
+        next_commit_version,
         read_learned_table,
     )
 
@@ -69,7 +70,9 @@ def main() -> int:
         print(json.dumps({"error": "no committed snapshot", "table": args.table}))
         return 1
     state = _learned_state(root)
-    next_version = state.get("version", state.get("batch_id", -1)) + 1
+    # skips past crash debris dirs, never reusing a version a concurrent
+    # writer might still be mid-commit on
+    next_version = next_commit_version(root)
 
     def commit(df) -> None:
         # preserve the streaming replay guard: a CLI mutation must NOT

@@ -236,11 +236,55 @@ def _duration_ms(spec: str) -> int:
 LEARNED_CURRENT = "_CURRENT"
 
 
+def _require_local_path(path: str | pathlib.Path, what: str) -> pathlib.Path:
+    """The versioned-table root is a LOCAL-FILESYSTEM contract: the commit
+    protocol's arbiter is ``os.rename`` atomicity and the pointer/meta
+    files are written with pathlib, while the row data goes through
+    ``df.write`` — on an object store (s3a://...) or HDFS the two halves
+    would land in different filesystems and rename would not be atomic.
+    Reject URI-schemed paths loudly instead of splitting the artifact; the
+    deployment-grade rendition is an Iceberg/metastore commit transaction
+    (or routing the small writes through the Hadoop FileSystem API)."""
+    s = str(path)
+    scheme, sep, _ = s.partition("://")
+    if sep and scheme != "file":
+        raise NotImplementedError(
+            f"{what} requires a local filesystem path (atomic-rename commit "
+            f"protocol); got scheme {scheme!r}: {s}. Use an Iceberg/metastore "
+            f"commit for object-store deployments."
+        )
+    return pathlib.Path(s[7:] if s.startswith("file://") else s)
+
+
 def _learned_state(root: pathlib.Path) -> dict | None:
     cur = root / LEARNED_CURRENT
     if not cur.exists():
         return None
     return json.loads(cur.read_text())
+
+
+def _state_version(state: dict | None) -> int:
+    if state is None:
+        return -1
+    # .get fallback: pointers from before the version/batch_id split
+    return state.get("version", state.get("batch_id", -1))
+
+
+def next_commit_version(root: pathlib.Path) -> int:
+    """The version a new commit should target: one past BOTH the pointer
+    and the highest existing snapshot dir. Skipping past unreferenced dirs
+    is what makes crash debris (a writer that died between its rename and
+    its pointer swap) harmless: nobody ever deletes or reuses a dir that
+    might belong to a live concurrent writer — the orphan just gets
+    superseded and swept by a later committer's GC once the pointer has
+    advanced past it."""
+    dir_max = -1
+    for p in root.glob("v*"):
+        try:
+            dir_max = max(dir_max, int(p.name[1:]))
+        except ValueError:
+            continue
+    return max(_state_version(_learned_state(root)), dir_max) + 1
 
 
 def read_learned_table(spark: SparkSession, learned_table_path: str) -> DataFrame | None:
@@ -274,7 +318,7 @@ def learning_foreach_batch(learned_table_path: str, keep_snapshots: int = 2):
 
     def hook(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        root = pathlib.Path(learned_table_path)
+        root = _require_local_path(learned_table_path, "learned table root")
         root.mkdir(parents=True, exist_ok=True)
         # retry loop: a commit lost to a concurrent admin (CLI) writer is
         # re-merged against the fresh snapshot — dropping the batch would
@@ -290,12 +334,7 @@ def learning_foreach_batch(learned_table_path: str, keep_snapshots: int = 2):
                 else None
             )
             merged = accrue_learned(existing, epoch_word_counts(batch_df))
-            # .get fallback: pointers from before the version/batch_id split
-            version = (
-                state.get("version", state.get("batch_id", -1)) + 1
-                if state
-                else 0
-            )
+            version = next_commit_version(root)
             try:
                 commit_learned_snapshot(
                     merged, root, version, stream_batch_id=batch_id,
@@ -305,6 +344,16 @@ def learning_foreach_batch(learned_table_path: str, keep_snapshots: int = 2):
             except RuntimeError:
                 if attempt == 2:
                     raise  # persistent contention: surface it
+            except Exception:
+                # the merge READS the source snapshot lazily during the
+                # commit's write job — a concurrent faster writer's GC can
+                # delete it mid-read, surfacing as a raw Spark/IO error
+                # rather than the protocol's RuntimeError. If the pointer
+                # moved since our read, treat it as the same retryable
+                # conflict (re-resolve and re-merge); a failure with an
+                # UNCHANGED pointer is a real error and propagates.
+                if attempt == 2 or _learned_state(root) == state:
+                    raise
 
     return hook
 
@@ -333,13 +382,27 @@ def commit_learned_snapshot(
     atomic ``rename(tmp → v{version})`` — each writer stages into a
     uniquely named tmp dir, so concurrent same-version writers can't
     delete each other's in-flight output, and exactly one rename wins;
-    the loser cleans up and raises. A pointer re-check immediately before
-    the swap keeps a slower lower-version writer from regressing
-    ``_CURRENT`` past a higher commit. Callers retry from a fresh read
-    (the streaming hook does; the CLI reports and exits). This is a
-    plain-filesystem protocol: it makes every detectable race an error
-    instead of a silent clobber — a metastore/Iceberg commit transaction
-    is the deployment-grade version."""
+    the loser cleans up and raises. An already-existing ``v{version}``
+    dir is ALWAYS a conflict — it is either a live concurrent writer
+    between its rename and pointer swap, or crash debris; deleting it
+    inline could destroy the winner's just-committed snapshot, so this
+    commit never removes a same-version dir (callers pick the next
+    version with :func:`next_commit_version`, which skips past debris;
+    debris is swept only by a LATER committer's GC, after the pointer has
+    advanced past it). A pointer re-check immediately before the swap
+    keeps a slower lower-version writer from regressing ``_CURRENT`` past
+    a higher commit. Callers retry from a fresh read (the streaming hook
+    does; the CLI reports and exits). This is a plain-LOCAL-filesystem
+    protocol (rename atomicity — URI-schemed roots are rejected); it
+    makes every detectable race an error instead of a silent clobber — a
+    metastore/Iceberg commit transaction is the deployment-grade version.
+
+    GC keeps ``keep_snapshots`` + 1 snapshot dirs (one extra beyond the
+    nominal retention): a concurrent slower writer reads its merge source
+    lazily during its own write job, so the previous-but-one snapshot must
+    outlive in-flight merges; everything swept is strictly below the
+    pointer just committed."""
+    root = _require_local_path(root, "learned table root")
     root.mkdir(parents=True, exist_ok=True)
     snap = f"v{version:010d}"
     tmp = root / f"_tmp-{snap}-{uuid.uuid4().hex[:8]}"  # per-writer staging
@@ -353,18 +416,16 @@ def commit_learned_snapshot(
         )
 
     def current_version():
-        cur = _learned_state(root)
-        if cur is None:
-            return -1
-        return cur.get("version", cur.get("batch_id", -1))
+        return _state_version(_learned_state(root))
 
     if current_version() >= version:
         raise conflict(f"pointer already at or past v{version:010d}")
     final = root / snap
     if final.exists():
-        # pointer is older than this version, so nothing references the
-        # dir: debris from a writer that crashed between rename and swap
-        shutil.rmtree(final)
+        # live concurrent writer mid-commit OR crash debris — never rmtree
+        # it here (the live writer's rename may have JUST won); the retry
+        # path targets a higher version via next_commit_version
+        raise conflict(f"snapshot dir {snap} already exists")
     try:
         tmp.rename(final)  # the arbiter: exactly one same-version winner
     except OSError as e:
@@ -381,5 +442,8 @@ def commit_learned_snapshot(
         )
     )
     ptr_tmp.rename(root / LEARNED_CURRENT)  # atomic commit
-    for old in sorted(root.glob("v*"))[:-keep_snapshots]:
+    # sweep runs only after a successful pointer swap, so every deleted dir
+    # (including any adopted crash debris) is strictly below the live
+    # pointer; +1 defers one extra version for in-flight lazy readers
+    for old in sorted(root.glob("v*"))[: -(keep_snapshots + 1)]:
         shutil.rmtree(old)

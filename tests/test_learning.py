@@ -184,8 +184,11 @@ def test_learning_snapshot_commit_roundtrip(spark, tmp_path):
     t2 = read_learned_table(spark, str(root))
     assert t2.first()["is_approved"]
     commit_learned_snapshot(t2, root, 2)
+    commit_learned_snapshot(t2, root, 3)
     snaps = sorted(p.name for p in root.glob("v*"))
-    assert len(snaps) == 2  # keep_snapshots=2 GC'd v0
+    # keep_snapshots=2 retains 2+1 dirs (one extra version deferred for
+    # in-flight lazy readers of the previous snapshot) — v0 is GC'd
+    assert snaps == ["v0000000001", "v0000000002", "v0000000003"]
 
 
 def test_snapshot_commit_aborts_on_conflict(spark, tmp_path):
@@ -263,3 +266,56 @@ def test_s5_export_sink_and_reimport(spark, tmp_path):
     meta_a = json.loads((tmp_path / "s5a" / "_meta.json").read_text())
     assert meta_a["export_type"] == "approved_only"
     assert meta_a["total_words"] == meta_a["approved_count"] == 3
+
+
+def test_snapshot_commit_never_deletes_existing_same_version_dir(spark, tmp_path):
+    """The race the old protocol had: a writer finding v{N} already on disk
+    must CONFLICT, not rmtree it — that dir may be a live concurrent
+    writer's just-renamed snapshot (between its rename and pointer swap).
+    Debris is only swept by a later committer's GC, after the pointer has
+    advanced past it."""
+    import pathlib
+
+    import pytest
+
+    from ocr_spark.streaming.extract_stream import (
+        commit_learned_snapshot,
+        next_commit_version,
+        read_learned_table,
+    )
+
+    root = pathlib.Path(tmp_path / "learned_debris")
+    schema = "word string, frequency long, is_approved boolean"
+    a = spark.createDataFrame([("a", 1, False)], schema)
+    b = spark.createDataFrame([("b", 2, False)], schema)
+    commit_learned_snapshot(a, root, 0)
+    # simulate a concurrent writer that renamed v1 into place but has not
+    # yet swapped the pointer (or crashed right there)
+    b.write.parquet(str(root / "v0000000001"))
+    sentinel = set((root / "v0000000001").iterdir())
+    with pytest.raises(RuntimeError, match="already exists"):
+        commit_learned_snapshot(a, root, 1)
+    # the winner's snapshot is untouched and the pointer did not move
+    assert set((root / "v0000000001").iterdir()) == sentinel
+    assert read_learned_table(spark, str(root)).first()["word"] == "a"
+    # the retry path targets the NEXT free version, past the debris
+    assert next_commit_version(root) == 2
+    commit_learned_snapshot(a, root, 2)
+    assert read_learned_table(spark, str(root)).count() == 1
+
+
+def test_versioned_table_rejects_object_store_paths(spark):
+    """The atomic-rename commit protocol is a local-filesystem contract:
+    URI-schemed roots must fail loudly instead of splitting the artifact
+    between the driver's disk and the remote store (same for the export
+    sink's meta header)."""
+    import pytest
+
+    from ocr_spark.operators.learning import write_learned_export
+    from ocr_spark.streaming.extract_stream import commit_learned_snapshot
+
+    df = spark.createDataFrame([("a", 1, False)], "word string, frequency long, is_approved boolean")
+    with pytest.raises(NotImplementedError, match="s3a"):
+        commit_learned_snapshot(df, "s3a://bucket/learned", 0)
+    with pytest.raises(NotImplementedError, match="hdfs"):
+        write_learned_export(df, "hdfs://nn/export", export_date="2026-08-17")
