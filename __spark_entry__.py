@@ -483,6 +483,38 @@ FROM events GROUP BY event_type
 """
 
 
+def _a12_approx_distinct(spark, sf_dir):
+    """The 100-TB rendition of A12: HyperLogLog++ ``approx_count_distinct``
+    at rsd=0.02 (±2% standard error) — a single-pass, fixed-memory sketch
+    per group vs the exact two-stage distinct's full-key shuffle. The exact
+    variant stays the oracle; this one is rows-only at the driver gate
+    (DuckDB's HLL is a different sketch) with a tolerance-band pytest
+    pinning |approx − exact| within 5·rsd."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _a4_learning_stats(spark, sf_dir):
+    """A4 learning stats (reference learning_service.py:187-205) over the
+    deterministic learned table derived from A7's word frequencies —
+    total/approved/pending in one aggregate."""
+    from ocr_spark.operators.learning import learning_stats
+
+    return learning_stats(_a7_word_frequency(spark, sf_dir))
+
+
+_A4_SQL = f"""
+WITH lw AS ({_A7_SQL})
+SELECT CAST(count(*) AS BIGINT) AS total_words,
+       CAST(sum(CASE WHEN is_approved THEN 1 ELSE 0 END) AS BIGINT) AS approved,
+       CAST(sum(CASE WHEN NOT is_approved THEN 1 ELSE 0 END) AS BIGINT) AS pending
+FROM lw
+"""
+
+
 def _a9_event_pagination(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1654,7 +1686,14 @@ FROM (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2 plus the
-    training-data-pipeline operators. Keys ↔ oracle_sql keys."""
+    training-data-pipeline operators. Keys ↔ oracle_sql keys.
+
+    Sized to the driver gate's 50-row window so EVERY distinct operator
+    family gets a recorded correctness row: redundant physical variants of
+    queries already listed (numpy top-k, multi-probe LSH, signature-only
+    stages, the corpus anti-join over the same connected components) live
+    in :func:`extra_queries`, still oracle-backed via
+    ``tools/check_oracles.py --extended``."""
     return {
         # extraction core (T1–T7 + A6; golden-tested vs the reference)
         "flagship_extract": _flagship,
@@ -1671,6 +1710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_counts_by_type": _a5_counts_by_type,
         "a11_type_pivot": _a11_type_pivot,
         "a12_distinct_users": _a12_distinct_users,
+        "a12_approx_distinct": _a12_approx_distinct,
+        "a4_learning_stats": _a4_learning_stats,
         "a7_word_frequency": _a7_word_frequency,
         "a8_top_pending": _a8_top_pending,
         "a9_event_pagination": _a9_event_pagination,
@@ -1685,21 +1726,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_unknown_antijoin": _j2_unknown_antijoin,
         # dedup family
         "exact_dedup": _exact_dedup,
-        "minhash_signatures": _minhash_signatures,
         "minhash_near_dup": _minhash_near_dup,
         "jaccard_near_dup": _jaccard_near_dup,
         "dedup_clusters": _dedup_clusters,
-        "dedup_corpus": _dedup_corpus,
-        "simhash": _simhash,
         "simhash_near_dup": _simhash_near_dup,
         "decontaminate": _decontaminate,
         "stratified_sample": _stratified_sample,
         "curate_corpus": _curate_corpus,
         # similarity search
         "ann_cosine_topk": _ann_cosine_topk,
-        "ann_cosine_topk_np": _ann_cosine_topk_np,
         "ann_lsh_topk": _ann_lsh_topk,
-        "ann_lsh_topk_mp": _ann_lsh_topk_mp,
         "knn_join": _knn_join,
         "embedding_near_dup": _embedding_near_dup,
         # multimodal (real stdlib codecs + numpy pixel ops)
@@ -1740,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
         "a5_counts_by_type": _A5_SQL,
         "a11_type_pivot": _A11_SQL,
         "a12_distinct_users": _A12_SQL,
+        "a4_learning_stats": _A4_SQL,
         "a7_word_frequency": _A7_SQL,
         "a8_top_pending": _A8_SQL,
         "a9_event_pagination": _A9_SQL,
@@ -1752,20 +1789,15 @@ def oracle_sql() -> dict[str, str]:
         "a10_value_quantiles": _A10_SQL,
         "j2_unknown_antijoin": _J2_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
-        "minhash_signatures": _MINHASH_SQL,
         "minhash_near_dup": _MINHASH_NEAR_DUP_SQL,
         "jaccard_near_dup": _JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
-        "dedup_corpus": _DEDUP_CORPUS_SQL,
-        "simhash": _SIMHASH_SQL,
         "simhash_near_dup": _SIMHASH_NEAR_DUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "curate_corpus": _curate_sql(),
         "ann_cosine_topk": _ANN_SQL,
-        "ann_cosine_topk_np": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
-        "ann_lsh_topk_mp": _ann_lsh_mp_sql(),
         "knn_join": _KNN_SQL,
         "embedding_near_dup": _emb_near_dup_sql(),
         "lang_id_counts": _langid_sql(),
@@ -1777,4 +1809,31 @@ def oracle_sql() -> dict[str, str]:
         "q5_region_volume": _Q5_SQL,
         "q18_large_orders": _Q18_SQL,
         "w1_top_orders_per_customer": _W1_SQL,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-backed physical VARIANTS of queries already in
+    :func:`queries` — numpy vs higher-order-function top-k, multi-probe vs
+    single-bucket LSH, the signature-only stages the near-dup pipelines
+    subsume, the corpus anti-join over the same connected components. Kept
+    out of the driver's 50-row gate so every distinct operator family gets
+    a recorded row there; run them with
+    ``python tools/check_oracles.py --extended``."""
+    return {
+        "minhash_signatures": _minhash_signatures,
+        "simhash": _simhash,
+        "dedup_corpus": _dedup_corpus,
+        "ann_cosine_topk_np": _ann_cosine_topk_np,
+        "ann_lsh_topk_mp": _ann_lsh_topk_mp,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    return {
+        "minhash_signatures": _MINHASH_SQL,
+        "simhash": _SIMHASH_SQL,
+        "dedup_corpus": _DEDUP_CORPUS_SQL,
+        "ann_cosine_topk_np": _ANN_SQL,
+        "ann_lsh_topk_mp": _ann_lsh_mp_sql(),
     }

@@ -123,3 +123,23 @@ def test_fingerprint_normalization_invariance(spark):
     rows = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
     assert rows[0] == rows[1]
     assert rows[0] != rows[2]
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """a12_approx_distinct (HLL++ at rsd=0.02) stays within 5·rsd of the
+    exact two-stage distinct on every group — the documented error band
+    for the 100-TB rendition (the exact variant remains the oracle)."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in e.queries()["a12_distinct_users"](spark, sf).collect()
+    }
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in e.queries()["a12_approx_distinct"](spark, sf).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 5 * 0.02 * n), (t, n, approx[t])

@@ -57,6 +57,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--extended",
+        action="store_true",
+        help="also run extra_queries() (oracle-backed physical variants "
+        "kept out of the driver's 50-row gate)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -74,6 +80,9 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.extended:
+        qs = {**qs, **entrymod.extra_queries()}
+        oracles = {**oracles, **entrymod.extra_oracle_sql()}
     only = set(args.only.split(",")) if args.only else None
     failed = []
     for name, fn in qs.items():
