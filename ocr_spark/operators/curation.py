@@ -10,7 +10,8 @@ sampling — sharing work the naive operator chain recomputes:
   and the Jaccard posting lists, the anti-joins, the final projection —
   derives from that materialization, so the regex-heavy scoring and
   tokenize+md5 work (extraction-style, ~1000× compute per byte) never
-  re-executes (swap for reliable ``checkpoint`` on a cluster);
+  re-executes (pass ``checkpoint_dir`` for reliable ``checkpoint`` on a
+  cluster — the same knob connected_components takes);
 * pair→cluster resolution and the final anti-join reuse the dedup
   operators unchanged.
 
@@ -44,6 +45,7 @@ def curate_corpus(
     strata_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Returns the curated corpus rows (id, stratum, lang_pred,
     quality_score): quality ≥ ``min_quality``, language ≠ ``drop_lang``,
@@ -63,7 +65,10 @@ def curate_corpus(
         "lang_pred",
         "quality_score",
         sh_ids.alias("sh"),
-    ).localCheckpoint(eager=True)
+    )
+    from ocr_spark.operators.dedup import _checkpointer
+
+    kept = _checkpointer(kept, checkpoint_dir)(kept)
     # the shared shingle explosion: decontamination join + jaccard postings
     ex = kept.select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
@@ -79,7 +84,7 @@ def curate_corpus(
 
     pairs = jaccard_pairs_from_exploded(clean_ex, jaccard_threshold, max_doc_freq)
     dropped = (
-        connected_components(pairs)
+        connected_components(pairs, checkpoint_dir=checkpoint_dir)
         .filter(F.col("cluster") != F.col("id"))
         .select("id")
     )

@@ -626,11 +626,25 @@ def simhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
+def _checkpointer(df: DataFrame, checkpoint_dir: str | None):
+    """Lineage-truncation strategy for iterative loops: ``localCheckpoint``
+    (executor-local blocks — fast, but an executor loss restarts the whole
+    loop) by default, or RELIABLE ``checkpoint`` into ``checkpoint_dir``
+    (HDFS/object-store path on a real cluster) when given — the documented
+    'swap on a real cluster' as a parameter instead of a code edit."""
+    if checkpoint_dir is None:
+        return lambda d: d.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return lambda d: d.checkpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a pair list by iterated hash-min label
     propagation — pure DataFrame joins, no driver-side union-find, no
@@ -646,14 +660,15 @@ def connected_components(
     bucket-join cliques in 2. Convergence is detected by an any-label-
     changed probe (a join on the small vertex set — type-agnostic, so
     string/UUID ids work; a numeric sum witness would NULL out on them).
-    ``localCheckpoint`` truncates the iterative lineage each pass (swap
-    for reliable ``checkpoint`` on a real cluster where executor loss
-    must not restart the whole loop)."""
+    Lineage truncation per pass: ``localCheckpoint`` by default;
+    pass ``checkpoint_dir`` for reliable ``checkpoint`` on a real cluster
+    where executor loss must not restart the whole loop."""
+    ckpt = _checkpointer(pairs, checkpoint_dir)
     # materialize the pair list ONCE: edges and labels consume it in four
     # subtrees and the propagation loop re-reads edges every iteration —
     # without this the (possibly expensive) pair-generation pipeline would
     # re-execute per iteration
-    pairs = pairs.select(id_a, id_b).localCheckpoint(eager=True)
+    pairs = ckpt(pairs.select(id_a, id_b))
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -662,8 +677,8 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("cluster"))
-        .localCheckpoint(eager=True)
     )
+    labels = ckpt(labels)
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -687,8 +702,8 @@ def connected_components(
                     F.col("cluster"), F.coalesce("_parent", F.col("cluster"))
                 ).alias("cluster"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = ckpt(new_labels)
         # convergence witness: any label changed? A join on the (small)
         # vertex set — type-agnostic, unlike a numeric sum over ids (which
         # would be NULL for string/UUID ids and stop the loop on pass 1)
@@ -713,6 +728,7 @@ def resolve_clusters(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full-corpus cluster assignment: (id, cluster, keep) for EVERY
     document — docs in no pair are their own singleton cluster; inside a
@@ -724,7 +740,7 @@ def resolve_clusters(
     Shape at 100 TB: the component computation touches only pair vertices
     (tiny vs the corpus); the corpus-wide assignment is one broadcast-able
     left join."""
-    comp = connected_components(pairs, id_a, id_b)
+    comp = connected_components(pairs, id_a, id_b, checkpoint_dir=checkpoint_dir)
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")
@@ -737,13 +753,16 @@ def resolve_clusters(
 
 
 def dedup_corpus(
-    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id"
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The materialized deduplicated corpus: keep one document (min id) per
     duplicate cluster, all columns preserved — docs anti-joined against the
     dropped member set."""
     dropped = (
-        connected_components(pairs)
+        connected_components(pairs, checkpoint_dir=checkpoint_dir)
         .filter(F.col("cluster") != F.col("id"))
         .select(F.col("id").alias(id_col))
     )

@@ -105,6 +105,7 @@ def assemble_conversations(
     idx_col: str = "turn_idx",
     text_col: str = "normalized_text",
     with_headers: bool = True,
+    max_turns: int | None = None,
 ) -> DataFrame:
     """Reassemble per-conversation documents under stable (conv_id, turn_idx)
     ordering — the transcript analog of the reference's page assembly:
@@ -112,21 +113,43 @@ def assemble_conversations(
 
     Implemented as sort_array(collect_list(struct(idx, text))) so ordering is
     enforced inside the aggregation (one shuffle, no window pass needed).
-    """
+
+    ``max_turns`` is the hot-conversation guard: without it, a 10⁵-turn
+    agent-loop conversation builds ONE collect_list row holding the whole
+    conversation's text — an unsafe-row/executor-memory hazard at scale.
+    With it, the aggregation key becomes (conv, turn_idx // max_turns) and
+    the output gains a ``document_part`` column (part index, ascending in
+    turn order): every aggregation group is hard-bounded at ``max_turns``
+    turns regardless of conversation length, same single shuffle, and
+    concatenating a conversation's parts in part order with the same
+    '\\n\\n' separator reconstructs the unsegmented document exactly
+    (tested). The default path (``max_turns=None``) is byte-identical to
+    before — segmenting is opt-in for corpora with pathological
+    conversation lengths."""
     unit = (
         F.concat(page_header(F.col(idx_col)), F.lit("\n"), F.col(text_col))
         if with_headers
         else F.col(text_col)
     )
     packed = F.struct(F.col(idx_col).alias("i"), unit.alias("t"))
-    return (
-        df.filter(F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0))
-        .groupBy(conv_col)
-        .agg(
-            F.array_join(
-                F.transform(F.sort_array(F.collect_list(packed)), lambda s: s["t"]),
-                "\n\n",
-            ).alias("document"),
-            F.count("*").alias("n_turns"),
-        )
+    nonempty = df.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
     )
+    doc = F.array_join(
+        F.transform(F.sort_array(F.collect_list(packed)), lambda s: s["t"]),
+        "\n\n",
+    )
+    if max_turns is None:
+        return nonempty.groupBy(conv_col).agg(
+            doc.alias("document"), F.count("*").alias("n_turns")
+        )
+    if max_turns < 1:
+        raise ValueError(f"max_turns must be >= 1, got {max_turns}")
+    # turn_idx // max_turns bounds each group at max_turns turns (turn_idx
+    # is unique per conversation), so group size is independent of
+    # conversation length — the partitioner spreads a hot conversation's
+    # parts across tasks for free
+    part = F.floor(F.col(idx_col) / max_turns).cast("int")
+    return nonempty.groupBy(
+        F.col(conv_col), part.alias("document_part")
+    ).agg(doc.alias("document"), F.count("*").alias("n_turns"))

@@ -402,11 +402,33 @@ def commit_learned_snapshot(
     lazily during its own write job, so the previous-but-one snapshot must
     outlive in-flight merges; everything swept is strictly below the
     pointer just committed."""
-    root = _require_local_path(root, "learned table root")
+    _commit_snapshot(
+        lambda tmp: merged.write.mode("overwrite").parquet(str(tmp)),
+        root,
+        version,
+        stream_batch_id=stream_batch_id,
+        keep_snapshots=keep_snapshots,
+    )
+
+
+def _commit_snapshot(
+    stage,
+    root: pathlib.Path,
+    version: int,
+    stream_batch_id: int | None = None,
+    keep_snapshots: int = 2,
+) -> None:
+    """The protocol core shared by every versioned snapshot table (the
+    learned-words table, the streaming near-dup store): ``stage(tmp)``
+    writes the snapshot's full content into the staging dir — one parquet
+    table or several subdir tables — and everything from the rename
+    arbiter on is identical. See :func:`commit_learned_snapshot` for the
+    concurrency contract."""
+    root = _require_local_path(root, "versioned table root")
     root.mkdir(parents=True, exist_ok=True)
     snap = f"v{version:010d}"
     tmp = root / f"_tmp-{snap}-{uuid.uuid4().hex[:8]}"  # per-writer staging
-    merged.write.mode("overwrite").parquet(str(tmp))
+    stage(tmp)
 
     def conflict(reason: str):
         shutil.rmtree(tmp, ignore_errors=True)

@@ -409,3 +409,24 @@ def test_simhash_vectorized_matches_scalar_reference():
     got = _simhash64(pd.Series(lists, dtype="object"))
     for toks, v in zip(lists, got):
         assert v == scalar(toks or [])
+
+
+def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
+    """The checkpoint_dir knob swaps localCheckpoint for reliable
+    checkpointing (cluster deployments where executor loss must not
+    restart the loop) — same labels, and checkpoint files actually land
+    in the given directory."""
+    import pathlib
+
+    from ocr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    ckdir = str(tmp_path / "reliable_ck")
+    got = {
+        (r["id"], r["cluster"])
+        for r in connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert any(pathlib.Path(ckdir).rglob("*"))  # reliable files written

@@ -88,3 +88,47 @@ def test_salted_repartition_is_lossless(spark):
     assert salted.rdd.getNumPartitions() == 8
     # no duplicated or lost keys
     assert salted.distinct().count() == df.distinct().count()
+
+
+def test_assembly_segmenting_guard_reconstructs_unsegmented(spark):
+    """The hot-conversation guard: a 100k-turn conversation assembles into
+    bounded document_part rows (each ≤ max_turns turns), and joining the
+    parts in order reconstructs the unsegmented document byte-for-byte.
+    The default path stays unchanged."""
+    from ocr_spark.operators.extraction import assemble_conversations
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.lit("conv-hot").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.concat(F.lit("turn text "), F.col("id")).alias("normalized_text"),
+    )
+    parts = assemble_conversations(df, max_turns=4096).collect()
+    assert all(r["n_turns"] <= 4096 for r in parts)
+    assert [r["document_part"] for r in sorted(parts, key=lambda r: r["document_part"])] == list(range(25))
+    rebuilt = "\n\n".join(
+        r["document"] for r in sorted(parts, key=lambda r: r["document_part"])
+    )
+    whole = assemble_conversations(df).first()
+    assert whole["n_turns"] == n
+    assert rebuilt == whole["document"]
+
+
+def test_assembly_segmenting_sparse_idx_and_validation(spark):
+    from ocr_spark.operators.extraction import assemble_conversations
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [("c", 0, "a"), ("c", 7, "b"), ("c", 8, "c")],
+        "conv_id string, turn_idx int, normalized_text string",
+    )
+    rows = {
+        r["document_part"]: r
+        for r in assemble_conversations(df, max_turns=4).collect()
+    }
+    # parts follow turn_idx ranges: 0//4=0, 7//4=1, 8//4=2 — sparse
+    # conversations make SMALLER parts, never larger (the bound is hard)
+    assert {p: r["n_turns"] for p, r in rows.items()} == {0: 1, 1: 1, 2: 1}
+    with pytest.raises(ValueError, match="max_turns"):
+        assemble_conversations(df, max_turns=0)

@@ -281,3 +281,96 @@ def test_foreach_batch_large_vocab_no_driver_materialization(spark, tmp_path):
     table = read_learned_table(spark, learned)
     assert table.count() == 150_000
     assert table.filter("frequency = 2").count() == 50_000
+
+
+def _neardup_docs(spark):
+    """12 docs in 3 groups: planted near-dup clusters that SPAN batches plus
+    unique fillers — the cross-batch pairs are the incremental case worth
+    testing (within-batch pairs reduce to the batch operator)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long tune about %s and the crowd hums along in the warm evening"
+    )
+    uniq = (
+        "completely different text number %d with its own vocabulary "
+        "talking about spacecraft navigation and orbital mechanics topic %d"
+    )
+    rows = []
+    for i in range(6):  # near-dups of each other (one-word delta)
+        rows.append((i, base % f"variant{i % 2}"))
+    for i in range(6, 12):
+        rows.append((i, uniq % (i, i * 7)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_neardup_matches_batch(spark, tmp_path):
+    """Multi-batch replay: feeding the corpus through the foreachBatch
+    near-dup hook in 3 micro-batches yields EXACTLY the batch operator's
+    pair set over the full corpus (same hash family, same bands, same
+    threshold) — including pairs whose members arrived in different
+    batches."""
+    from ocr_spark.operators.dedup import minhash_near_duplicates
+    from ocr_spark.streaming.neardup_stream import (
+        neardup_foreach_batch,
+        read_neardup_state,
+    )
+
+    docs = _neardup_docs(spark)
+    store = str(tmp_path / "neardup_store")
+    hook = neardup_foreach_batch(
+        store, text_col="text", id_col="doc_id", threshold=0.5
+    )
+    # interleave the near-dup group across batches
+    hook(docs.filter("doc_id IN (0, 3, 6, 9)"), 0)
+    hook(docs.filter("doc_id IN (1, 4, 7, 10)"), 1)
+    hook(docs.filter("doc_id IN (2, 5, 8, 11)"), 2)
+
+    _, pairs = read_neardup_state(spark, store)
+    got = {
+        (r["id_a"], r["id_b"], r["sig_sim"]) for r in pairs.collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["sig_sim"])
+        for r in minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert got == want and len(want) > 0
+    # sanity: at least one pair crosses micro-batches
+    batches = {0: 0, 3: 0, 6: 0, 9: 0, 1: 1, 4: 1, 7: 1, 10: 1,
+               2: 2, 5: 2, 8: 2, 11: 2}
+    assert any(batches[a] != batches[b] for a, b, _ in got)
+
+
+def test_incremental_neardup_replay_and_reingestion_idempotent(spark, tmp_path):
+    """Kill/resume semantics: a crash-replayed micro-batch (same batch_id)
+    is a no-op via the pointer guard, and a REPLAYED SOURCE DOC in a new
+    batch (same doc id) cannot double-register — the final state is
+    byte-identical either way."""
+    from ocr_spark.streaming.neardup_stream import (
+        neardup_foreach_batch,
+        read_neardup_state,
+    )
+
+    docs = _neardup_docs(spark)
+    store = str(tmp_path / "neardup_replay")
+    hook = neardup_foreach_batch(store, id_col="doc_id", threshold=0.5)
+    hook(docs.filter("doc_id < 4"), 0)
+    bands0, pairs0 = read_neardup_state(spark, store)
+    n_bands0, n_pairs0 = bands0.count(), pairs0.count()
+
+    hook(docs.filter("doc_id < 4"), 0)  # crash-replay: same batch_id
+    bands1, pairs1 = read_neardup_state(spark, store)
+    assert (bands1.count(), pairs1.count()) == (n_bands0, n_pairs0)
+
+    # doc 0 re-ingested in a NEW batch alongside genuinely new docs
+    hook(docs.filter("doc_id IN (0, 4, 5)"), 1)
+    bands2, pairs2 = read_neardup_state(spark, store)
+    assert bands2.filter("id = 0").count() == 4  # one banding, not two
+    from ocr_spark.operators.dedup import minhash_near_duplicates
+
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs.filter("doc_id < 6"), threshold=0.5
+        ).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in pairs2.collect()} == want
