@@ -21,6 +21,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ocr_spark.operators.dedup import (
+    minhash_coefficients as _minhash_coefficients,
+)
+
 WORD_RE = "[a-z]{3,}"
 
 
@@ -639,16 +643,24 @@ def _minhash_signatures(spark, sf_dir):
     )
 
 
+# The 2-universal family's (i, aᵢ, bᵢ) coefficients enter the oracle as a
+# VALUES literal — HUGEINT multiply reproduces Spark's decimal(38,0)
+# arithmetic exactly (both are exact integer math mod 2^61 − 1)
+_MINHASH_COEF_VALUES = ", ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(_minhash_coefficients(16))
+)
+
 _MINHASH_SQL = f"""
 WITH ex AS (SELECT doc_id, unnest(shingles) AS s FROM ({_SHINGLES_SQL})),
 h AS (SELECT doc_id,
-             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
-             ('0x' || substr(md5(s), 16, 10))::BIGINT AS h2
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
       FROM ex),
-seeds AS (SELECT unnest(generate_series(0, 15)) AS seed)
-SELECT h.doc_id AS id, CAST(seeds.seed AS INT) AS seed,
-       min(h.h1 + seeds.seed * h.h2) AS minhash
-FROM h CROSS JOIN seeds GROUP BY 1, 2
+coef AS (SELECT * FROM (VALUES {_MINHASH_COEF_VALUES}) AS t(seed, a, b))
+SELECT h.doc_id AS id, CAST(coef.seed AS INT) AS seed,
+       CAST(min((coef.a::HUGEINT * h.h + coef.b) % 2305843009213693951)
+            AS BIGINT) AS minhash
+FROM h CROSS JOIN coef GROUP BY 1, 2
 """
 
 

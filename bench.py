@@ -36,6 +36,7 @@ HEADLINE = [
     "decontaminate",
     "curate_corpus",
     "ann_cosine_topk",
+    "knn_join",
     "embedding_near_dup",
     "lang_id_counts",
     "doc_quality",
@@ -66,7 +67,7 @@ def main() -> int:
     spark = get_spark("ocr-spark-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 8))
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
 
     # warmup: one full flagship pass spins up all Python workers, compiles
     # the rule tables per worker, and JITs the codegen'd stages — the timed
@@ -82,6 +83,39 @@ def main() -> int:
     # the north metric: end-to-end turns/sec of the flagship extraction
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     turns_per_sec = round(n_docs / times["flagship_extract"], 1)
+
+    # cap-drop counters: the hot-key caps trade recall for bounded fan-out
+    # (shingles over the doc-freq cap leave the Jaccard universe; over-cap
+    # LSH buckets are dropped before pair generation). Reporting the drop
+    # counts makes the recall loss OBSERVABLE per tier — a silent cap reads
+    # as "covered everything" when it didn't. Both counters are 0 until the
+    # corpus actually has hot keys (inert at sf≤0.1; the data/sf1 tier and
+    # any real corpus exercise them).
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import (
+        band_buckets,
+        minhash_signatures,
+        shingle_ids,
+    )
+
+    cap = entrymod._JACCARD_CAP
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dropped_shingles = (
+        docs.select(F.explode(shingle_ids("text", 3)).alias("s"))
+        .groupBy("s")
+        .count()
+        .filter(F.col("count") > cap)
+        .count()
+    )
+    hot_buckets = (
+        minhash_signatures(docs, n_hashes=16, k=3)
+        .select(F.posexplode(band_buckets("signature", 4)).alias("band", "bucket"))
+        .groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") > cap)
+        .count()
+    )
     spark.stop()
 
     total = round(sum(times.values()), 3)
@@ -96,6 +130,12 @@ def main() -> int:
                 "cpus": CPUS,
                 "flagship_docs": n_docs,
                 "flagship_docs_per_sec": turns_per_sec,
+                "cap_counters": {
+                    "max_doc_freq": cap,
+                    "max_bucket_size": cap,
+                    "jaccard_dropped_shingles": dropped_shingles,
+                    "minhash_hot_buckets": hot_buckets,
+                },
             }
         )
     )

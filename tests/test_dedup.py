@@ -82,9 +82,16 @@ def test_minhash_estimates_jaccard(spark):
 
 
 def test_lsh_finds_planted_near_dups(corpus):
+    # 8 bands of width 2: P(candidate) = 1-(1-j²)⁸ ≈ 0.9995 at the planted
+    # pair's true jaccard ≈ 0.78 — an honest estimator needs an honest
+    # banding config for near-certain recall (the degenerate h1+i·h2 family
+    # this suite once had scored ANY shared-argmin pair 1.0, which made
+    # weak bandings look falsely reliable)
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in minhash_near_duplicates(corpus, threshold=0.5).collect()
+        for r in minhash_near_duplicates(
+            corpus, threshold=0.5, n_bands=8
+        ).collect()
     }
     assert (0, 1) in pairs  # exact dup always survives
     assert (0, 2) in pairs  # one-token change -> high jaccard
@@ -430,3 +437,28 @@ def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     assert any(pathlib.Path(ckdir).rglob("*"))  # reliable files written
+
+
+def test_minhash_family_positions_are_independent_permutations():
+    """Regression for the degenerate h1 + i·h2 family: with i·h2 ≪ h1's
+    spread, ONE element was the argmin of every position, collapsing all
+    n hashes into a single effective permutation (unrelated docs sharing
+    one rare shingle scored sig_sim = 1.0). The Carter-Wegman family must
+    rank a random universe differently per position."""
+    import random
+
+    from ocr_spark.operators.dedup import MINHASH_P, minhash_coefficients
+
+    coeffs = minhash_coefficients(16)
+    rng = random.Random(3)
+    hs = [rng.randrange(1 << 60) for _ in range(200)]
+    argmins = {
+        min(range(200), key=lambda j: (a * hs[j] + b) % MINHASH_P)
+        for a, b in coeffs
+    }
+    # 16 independent permutations over 200 elements: essentially always
+    # ≥ 12 distinct argmins; the degenerate family yields exactly 1
+    assert len(argmins) >= 12
+    # determinism and a ∈ [1, p-1]
+    assert coeffs == minhash_coefficients(16)
+    assert all(1 <= a < MINHASH_P and 0 <= b < MINHASH_P for a, b in coeffs)

@@ -74,9 +74,12 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
-        )
+        # partial tiers (data/sf1 ships documents+embeddings only) register
+        # what exists; queries over missing tables fail loudly at run time
+        if os.path.exists(f"{args.sf}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+            )
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
