@@ -353,16 +353,21 @@ def embedding_near_duplicates(
     1-(1-p^planes)^tables at tables× the bucketing cost. Returns
     (id_a, id_b, cos) with cos ≥ threshold.
 
-    Physical shape: POSTING LISTS, the same single-shuffle pattern as the
-    jaccard/minhash/simhash family — one groupBy on the bucket key collects
-    (id, vec, norm) members, each posting emits its i<j pairs from an array
-    expression, cross-table duplicates fold in the final distinct. No
-    two-sided self-join (one shuffle of the bucketed rows instead of two
-    Exchange+sort sides; the per-row norm is computed once in the narrow
-    stage, not per pair). ``max_bucket_size`` is the family's hot-bucket
-    cap: a degenerate bucket (mass-duplicated embedding) would emit n²
-    pairs; over-cap postings are dropped before pair generation (documented
-    recall trade-off, inert at oracle scale).
+    Physical shape: bucket SELF-JOIN with per-row norms hoisted into the
+    narrow stage — deliberately NOT the posting-list pattern the skinny
+    jaccard/minhash/simhash members use. A posting list materializes the
+    bucket's member array per row during pair enumeration, which is fine
+    for 8-byte ids or 16-long signatures but catastrophic for embeddings:
+    a 2,500-member bucket of 64-dim vectors is a ~1.3 MB array duplicated
+    into EVERY exploded member row (measured: shuffle-server OOM on the
+    sf1 tier's hot bucket). The self-join instead shuffles each vector
+    once per side per table and STREAMS the pair enumeration, so task
+    memory is O(bucket member), not O(bucket²) or O(bucket × members').
+    ``max_bucket_size`` is the family's hot-bucket cap: a degenerate
+    bucket (mass-duplicated embedding) would emit n² pairs; over-cap
+    buckets are dropped via a window count on the already-shuffled bucket
+    key (no extra Exchange) before the join (documented recall trade-off,
+    inert at oracle scale).
 
     Pass ``dim`` explicitly where known (the embedding width is part of the
     table contract) — it keeps the call plan-only. When omitted, ONE probe
@@ -385,8 +390,6 @@ def embedding_near_duplicates(
             )
             return df.sparkSession.createDataFrame([], empty)
         dim = len(probe[0][0])
-    from ocr_spark.operators.dedup import posting_pairs
-
     buckets = F.array(
         *[
             F.concat(
@@ -402,22 +405,29 @@ def embedding_near_duplicates(
         norm(_as_double(vec_col)).alias("n"),
         F.explode(buckets).alias("bucket"),
     )
-    posting = bucketed.groupBy("bucket").agg(
-        F.sort_array(F.collect_list(F.struct("id", "vd", "n"))).alias("docs")
-    )
     if max_bucket_size is not None:
-        posting = posting.filter(F.size("docs") <= max_bucket_size)
+        from pyspark.sql import Window
 
-    def pair(a, b):
-        cos = F.round(dot(a["vd"], b["vd"]) / (a["n"] * b["n"]), 6)
-        return [
-            a["id"].alias("id_a"),
-            b["id"].alias("id_b"),
-            cos.alias("cos"),
-        ]
-
+        bucketed = (
+            bucketed.withColumn(
+                "_bs", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+            )
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
+        )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cos = F.round(
+        dot(F.col("a.vd"), F.col("b.vd")) / (F.col("a.n") * F.col("b.n")), 6
+    )
     return (
-        posting_pairs(posting, "docs", pair, max_posting=max_bucket_size)
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
         .distinct()
     )

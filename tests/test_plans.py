@@ -235,13 +235,16 @@ def test_knn_join_window_sees_partial_topk_not_cross_product(spark):
         assert join_node not in plan
 
 
-def test_embedding_near_dup_posting_shape_no_self_join(spark):
-    """The pair source is a single groupBy posting list (one Exchange for
-    the buckets + one for the distinct), not a two-sided bucket self-join."""
+def test_embedding_near_dup_streams_pairs_no_posting_buffer(spark):
+    """Embedding near-dup must use the STREAMING bucket self-join, not a
+    collect_list posting: a posting materializes the bucket's member array
+    (bucket × dim doubles) into every exploded member row — measured OOM
+    on sf1's hot bucket. The join shuffles each vector once per side and
+    streams pair enumeration; no collect_list may appear in the plan."""
     from ocr_spark.operators.similarity import embedding_near_duplicates
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _plan(embedding_near_duplicates(emb, threshold=0.9, n_planes=4, dim=16))
-    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
-        assert join_node not in plan
-    assert plan.count("Exchange") <= 2
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # the bucket-key equi-join is the pair source
