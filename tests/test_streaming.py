@@ -374,3 +374,56 @@ def test_incremental_neardup_replay_and_reingestion_idempotent(spark, tmp_path):
         ).collect()
     }
     assert {(r["id_a"], r["id_b"]) for r in pairs2.collect()} == want
+
+
+def test_neardup_stream_end_to_end(spark, tmp_path):
+    """Full Structured Streaming integration: readStream → foreachBatch
+    near-dup hook (availableNow) over the real transcript files. The
+    accumulated pair store must equal the batch operator over the whole
+    static table — micro-batch boundaries (2 files per trigger) are an
+    implementation detail the result cannot depend on.
+
+    Uses its own input dir (not the module fixture): an earlier resume
+    test appends seed-77 rows whose conv_ids collide with the fixture's
+    seed-9 rows, yielding duplicate conv_id#turn_idx ids with different
+    text — ambiguous input near-dup semantics cannot be equal on.
+    """
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import minhash_near_duplicates
+    from ocr_spark.streaming.neardup_stream import (
+        neardup_foreach_batch,
+        read_neardup_state,
+    )
+
+    stream_input = str(tmp_path / "nd_in")
+    write_table(stream_input, make_rows(40, 6, seed=9), files=5)
+    store = str(tmp_path / "nd_store")
+    turn_id = F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+    stream = read_transcript_stream(
+        spark, stream_input, max_files_per_trigger=2
+    ).select(turn_id.alias("turn_id"), "text")
+    q = (
+        stream.writeStream.foreachBatch(
+            neardup_foreach_batch(
+                store, text_col="text", id_col="turn_id", threshold=0.9
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    _, pairs = read_neardup_state(spark, store)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    static = spark.read.parquet(stream_input).select(
+        turn_id.alias("turn_id"), "text"
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            static, text_col="text", id_col="turn_id", threshold=0.9
+        ).collect()
+    }
+    assert got == want and len(want) > 0
