@@ -411,6 +411,57 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def _asof_signup_attribution(spark, sf_dir):
+    """As-of join: attribute every non-signup event to the user's most
+    recent signup at-or-before it (NULL when none) — the temporal-join
+    primitive (kdb ``aj`` / pandas ``merge_asof``) expressed WITHOUT a
+    join: union both sides, one window pass per user carrying the
+    last-seen login forward. One hash shuffle total, no per-key
+    cross-product (plan-pinned in tests/test_joins.py). Oracle: DuckDB's
+    native ASOF LEFT JOIN over a tie-deduped login table — an independent
+    formulation of the same semantics."""
+    from ocr_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    acts = ev.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = asof_join(
+        acts, signups, on="user_id", right_cols=["event_id"], prefix="signup_"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "signup_ts",
+        "signup_event_id",
+        F.expr("timestampdiff(MICROSECOND, signup_ts, ts)").alias("wait_us"),
+    )
+
+
+_ASOF_SQL = """
+WITH signups AS (
+  -- the operator breaks exact-ts ties by max payload struct = max event_id;
+  -- DuckDB ASOF leaves ties unspecified, so dedup to that same winner first
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+),
+acts AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type <> 'signup'
+)
+SELECT a.event_id, a.user_id, a.ts, a.event_type,
+       s.ts AS signup_ts, s.event_id AS signup_event_id,
+       date_diff('microsecond', s.ts, a.ts) AS wait_us
+FROM acts a ASOF LEFT JOIN signups s
+  ON a.user_id = s.user_id AND a.ts >= s.ts
+"""
+
+
 def _a10_value_quantiles(spark, sf_dir):
     """Discrete quantiles (exact element selection — deterministic across
     engines, unlike interpolated percentiles) of event value per type."""
@@ -1139,6 +1190,71 @@ ORDER BY score DESC, id ASC LIMIT 10
 """
 
 
+def _ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: the shipped spherical-k-means coarse
+    quantizer (tools/train_ivf.py, 8 cells) assigns the corpus; only the
+    nprobe=3 cells nearest the query are scanned, exact cosine rerank
+    inside — the data-adaptive counterpart of the hyperplane-LSH search.
+    With the corpus at rest partitioned by cell the probe filter becomes
+    partition pruning (scan ~3/8 of the bytes). Approximate as search but
+    deterministic given the shipped centroids, which enter the oracle as
+    literals: same assignment argmax, same probe set, same rerank."""
+    from ocr_spark.operators.similarity import ivf_topk, load_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, load_ivf_centroids(),
+        k=10, nprobe=3,
+    )
+
+
+def _ivf_sql(nprobe: int = 3) -> str:
+    """IVF oracle with the shipped centroids inlined as literals. The
+    probe set depends on the query vector, so the SQL derives it the same
+    way the operator does: score the query against every centroid, keep
+    the top-nprobe cells (score desc, cell asc). Assignment ties break to
+    the FIRST max in both engines (array_position / list_indexof)."""
+    from ocr_spark.operators.similarity import load_ivf_centroids
+
+    cents = load_ivf_centroids()
+    def scores(vexpr: str) -> str:
+        return "[" + ", ".join(
+            "list_inner_product({v}, [{c}])".format(
+                v=vexpr, c=", ".join(repr(x) for x in cent)
+            )
+            for cent in cents
+        ) + "]"
+
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+probe AS (
+  SELECT CAST(i - 1 AS INTEGER) AS cell
+  FROM (SELECT unnest({scores('qv')}) AS s,
+               generate_subscripts({scores('qv')}, 1) AS i
+        FROM q)
+  ORDER BY s DESC, i ASC LIMIT {nprobe}
+),
+assigned AS (
+  SELECT vec_id, v,
+         CAST(list_indexof(sc, list_aggregate(sc, 'max')) - 1 AS INTEGER) AS cell
+  FROM (SELECT vec_id, v, {scores('v')} AS sc
+        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL))
+)
+SELECT vec_id AS id,
+       ROUND(CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 0.0
+                  ELSE list_inner_product(v, qv)
+                       / (sqrt(list_inner_product(v, v))
+                          * sqrt(list_inner_product(qv, qv))) END, 6) AS score
+FROM assigned, q WHERE cell IN (SELECT cell FROM probe)
+ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+
 def _ann_cosine_topk_np(spark, sf_dir):
     """BLAS variant of the exact top-k (one matmul per Arrow batch,
     per-partition k-selection) — same oracle as the expression version."""
@@ -1715,14 +1831,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_pipeline": _full_pipeline,
         # aggregates A1/A2/A5/A7/A8/A9
         "a1_event_stats": _a1_event_stats,
-        "a2_events_by_date": _a2_events_by_date,
         "a2_zero_filled": _a2_zero_filled,
         "a3_key_stats": _a3_key_stats,
         "a3_key_usage": _a3_key_usage,
         "a5_counts_by_type": _a5_counts_by_type,
         "a11_type_pivot": _a11_type_pivot,
         "a12_distinct_users": _a12_distinct_users,
-        "a12_approx_distinct": _a12_approx_distinct,
         "a4_learning_stats": _a4_learning_stats,
         "a7_word_frequency": _a7_word_frequency,
         "a8_top_pending": _a8_top_pending,
@@ -1734,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_event_sessions": _t8_event_sessions,
         "t8_assembled_docs": _t8_assembled_docs,
         "t8_gap_sessions": _t8_gap_sessions,
+        "asof_signup_attribution": _asof_signup_attribution,
         "a10_value_quantiles": _a10_value_quantiles,
         "j2_unknown_antijoin": _j2_unknown_antijoin,
         # dedup family
@@ -1748,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ivf_topk": _ivf_topk,
         "knn_join": _knn_join,
         "embedding_near_dup": _embedding_near_dup,
         # multimodal (real stdlib codecs + numpy pixel ops)
@@ -1781,7 +1897,6 @@ def oracle_sql() -> dict[str, str]:
     pytest geometry/classification goldens)."""
     return {
         "a1_event_stats": _A1_SQL,
-        "a2_events_by_date": _A2_SQL,
         "a2_zero_filled": _A2Z_SQL,
         "a3_key_stats": _A3_SQL,
         "a3_key_usage": _A3_USAGE_SQL,
@@ -1798,6 +1913,7 @@ def oracle_sql() -> dict[str, str]:
         "t8_event_sessions": _T8_SQL,
         "t8_assembled_docs": _T8_ASSEMBLED_SQL,
         "t8_gap_sessions": _T8_GAP_SQL,
+        "asof_signup_attribution": _ASOF_SQL,
         "a10_value_quantiles": _A10_SQL,
         "j2_unknown_antijoin": _J2_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
@@ -1810,6 +1926,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curate_sql(),
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ivf_topk": _ivf_sql(),
         "knn_join": _KNN_SQL,
         "embedding_near_dup": _emb_near_dup_sql(),
         "lang_id_counts": _langid_sql(),
@@ -1838,6 +1955,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": _dedup_corpus,
         "ann_cosine_topk_np": _ann_cosine_topk_np,
         "ann_lsh_topk_mp": _ann_lsh_topk_mp,
+        "a2_events_by_date": _a2_events_by_date,
+        "a12_approx_distinct": _a12_approx_distinct,
     }
 
 
@@ -1848,4 +1967,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_corpus": _DEDUP_CORPUS_SQL,
         "ann_cosine_topk_np": _ANN_SQL,
         "ann_lsh_topk_mp": _ann_lsh_mp_sql(),
+        "a2_events_by_date": _A2_SQL,
+        # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
+        # pytest vs the exact count instead)
     }

@@ -36,8 +36,10 @@ HEADLINE = [
     "decontaminate",
     "curate_corpus",
     "ann_cosine_topk",
+    "ivf_topk",
     "knn_join",
     "embedding_near_dup",
+    "asof_signup_attribution",
     "lang_id_counts",
     "doc_quality",
     "bpe_token_counts",

@@ -1,0 +1,120 @@
+"""Time-series joins: as-of join expressed without a join.
+
+The as-of join ("for each left row, the latest right row at or before it,
+per key") is the workhorse of event attribution — tie each action to the
+session login that preceded it, each tick to the last quote, each request
+to the config version it ran under. The reference's analytics surface has
+no such operator; it belongs to the large-scale-pipeline family this
+engine adds (cf. kdb+ ``aj``, pandas ``merge_asof``, Flink temporal join —
+all public designs).
+
+Spark-first shape: a naive formulation is a range join
+(``l.key = r.key AND r.ts <= l.ts`` + a max-per-row rerank) whose
+candidate set explodes quadratically per key. Instead we UNION the two
+inputs, tag the side, and run ONE window pass per key ordered by
+``(ts, side, payload)`` carrying the last-seen right payload forward
+(``last(..., ignorenulls=True)``). Cost: a single hash shuffle on the key
+plus a per-key sort — the same cost as the aggregation Spark would need
+for the rerank alone, with no intermediate blow-up. At 100 TB this is
+shuffle-bound on |left|+|right| rows exactly once; a hot key serializes
+into one task's sort (spill-backed), which is the documented limit shared
+by every per-key-ordered operator here (cf. ``t8`` sessionization).
+
+Semantics (= DuckDB ``ASOF LEFT JOIN`` with a deterministic tie rule):
+- backward: match the greatest right ``ts`` <= left ``ts`` (inclusive).
+- forward: match the least right ``ts`` >= left ``ts`` (inclusive).
+- several right rows at the matched timestamp: the one with the MAXIMUM
+  payload struct wins (field-order lexicographic) — DuckDB leaves this
+  unspecified, so oracles must pre-dedup; the operator itself is total.
+- no match (or outside ``tolerance``): right columns are NULL (left join).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    prefix: str = "right_",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of join ``left`` to ``right`` on equal ``on`` keys and the
+    nearest ``right_ts`` at-or-before (``backward``) / at-or-after
+    (``forward``) each ``left_ts``.
+
+    Returns every ``left`` row with its original columns plus
+    ``{prefix}{right_ts}`` and ``{prefix}{c}`` for each carried right
+    column — NULL where no right row qualifies. ``tolerance_seconds``
+    additionally nulls matches farther than that gap (kept rows, NULLed
+    payload — left-join semantics throughout).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    payload_cols = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in keys and c != rts
+    ]
+    # the matched timestamp always rides first in the payload struct (the
+    # tie groups share it, so it never perturbs the max-payload tie rule)
+    pay_fields = [F.col(rts).alias("_ts"), *(F.col(c).alias(c) for c in payload_cols)]
+
+    right_part = right.select(
+        *keys,
+        F.col(rts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        F.struct(*pay_fields).alias("_asof_r"),
+    )
+    pay_type = right_part.schema["_asof_r"].dataType
+    left_part = left.select(
+        *keys,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        F.struct(*(F.col(c) for c in left.columns)).alias("_asof_l"),
+    )
+    unioned = left_part.withColumn(
+        "_asof_r", F.lit(None).cast(pay_type)
+    ).unionByName(
+        right_part.withColumn(
+            "_asof_l",
+            F.lit(None).cast(left_part.schema["_asof_l"].dataType),
+        )
+    )
+
+    # one ordering serves both directions: flip only the timestamp.
+    # side asc puts right rows BEFORE the left rows they tie with (the
+    # inclusive bound); payload asc makes last-seen = max payload on ties.
+    ts_order = (
+        F.col("_asof_ts").asc() if direction == "backward" else F.col("_asof_ts").desc()
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col("_asof_side").asc(), F.col("_asof_r").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("_asof_r", ignorenulls=True).over(w)
+
+    out = unioned.withColumn("_asof_m", matched).filter(F.col("_asof_side") == 1)
+    if tolerance_seconds is not None:
+        iv = F.expr(f"INTERVAL '{float(tolerance_seconds)}' SECOND")
+        in_band = (
+            F.col("_asof_m._ts") >= F.col("_asof_ts") - iv
+            if direction == "backward"
+            else F.col("_asof_m._ts") <= F.col("_asof_ts") + iv
+        )
+        out = out.withColumn(
+            "_asof_m", F.when(in_band, F.col("_asof_m"))
+        )
+
+    cols = [F.col(f"_asof_l.{c}").alias(c) for c in left.columns]
+    cols.append(F.col("_asof_m._ts").alias(f"{prefix}{rts}"))
+    cols.extend(F.col(f"_asof_m.{c}").alias(f"{prefix}{c}") for c in payload_cols)
+    return out.select(*cols)

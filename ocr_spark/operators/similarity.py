@@ -321,6 +321,157 @@ def knn_join(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 8,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 512,
+    iters: int = 8,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: spherical k-means (Lloyd) on a
+    deterministic sample — the standard IVF recipe (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011: the coarse
+    quantizer is trained on a sample, then applied to the full corpus).
+
+    Scale shape: the ONLY distributed work is the sample collection — the
+    ``sample_n`` lowest-id vectors via TakeOrderedAndProject (per-partition
+    top-n, no global sort). Training runs on the driver over that tiny
+    matrix; the result is a centroid table small enough to enter every
+    downstream plan as literals (like the LSH hyperplanes). Deterministic
+    end-to-end: id-ordered sample, first-k init, argmax/first-wins ties,
+    fixed iteration count — retraining on the same table is bit-identical.
+
+    Empty cells keep their previous centroid (never NaN); duplicate sample
+    vectors are skipped at init so the k seeds are distinct.
+    """
+    import numpy as np
+
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .orderBy(F.asc(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    vecs = [np.asarray(r[1], dtype=np.float64) for r in rows]
+    vecs = [v for v in vecs if float((v * v).sum()) > 0.0]
+    if len(vecs) < n_cells:
+        raise ValueError(
+            f"need >= {n_cells} non-zero sample vectors, got {len(vecs)}"
+        )
+    x = np.stack(vecs)
+    x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+
+    seeds: list[int] = []
+    seen: set[bytes] = set()
+    for i in range(len(x)):
+        key = x[i].tobytes()
+        if key not in seen:
+            seen.add(key)
+            seeds.append(i)
+        if len(seeds) == n_cells:
+            break
+    if len(seeds) < n_cells:
+        raise ValueError(f"only {len(seeds)} distinct sample vectors for {n_cells} cells")
+    c = x[seeds].copy()
+
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)  # first max wins ties
+        for cell in range(n_cells):
+            members = x[assign == cell]
+            if len(members) == 0:
+                continue
+            m = members.mean(axis=0)
+            n = float(np.sqrt((m * m).sum()))
+            if n > 0:
+                c[cell] = m / n
+    return [[float(v) for v in row] for row in c]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max dot product — the
+    centroids are unit-norm, so this is cosine assignment).
+
+    Pure narrow expression: one literal-centroid dot per cell plus an
+    argmax via ``array_position(scores, array_max(scores))`` (first max
+    wins ties — same rule as numpy/DuckDB). No shuffle, codegen-friendly,
+    and the natural ``partitionBy(cell)`` key when the corpus is written
+    to rest — after which :func:`ivf_topk`'s probe filter becomes partition
+    pruning and each query touches nprobe/n_cells of the bytes.
+    NULL vectors get a NULL cell."""
+    v = _as_double(vec_col)
+    scores = F.array(
+        *[
+            dot(v, F.array(*[F.lit(float(x)) for x in cent]).cast("array<double>"))
+            for cent in centroids
+        ]
+    )
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return df.withColumn(cell_col, cell)
+
+
+def load_ivf_centroids() -> list[list[float]]:
+    """The shipped coarse quantizer (``ocr_spark/data/ivf_centroids.json``,
+    trained by ``tools/train_ivf.py`` on the synthetic sf0.001 embeddings
+    tier). JSON round-trips float64 exactly, so every loader — Spark plan,
+    oracle builder, tests — sees bit-identical centroids."""
+    import json
+    from importlib.resources import files
+
+    data = json.loads(
+        files("ocr_spark.data").joinpath("ivf_centroids.json").read_text()
+    )
+    return data["centroids"]
+
+
+def ivf_probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cells nearest the query (dot desc, cell asc) —
+    driver-side arithmetic on the tiny centroid table, mirrored literally
+    in the SQL oracle builder."""
+    scored = sorted(
+        (
+            (-sum(cx * qx for cx, qx in zip(cent, query_vec)), i)
+            for i, cent in enumerate(centroids)
+        ),
+    )
+    return [i for _, i in scored[:nprobe]]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to coarse cells, scan only
+    the ``nprobe`` cells nearest the query, exact-rerank inside them.
+
+    The k-means twin of :func:`lsh_cosine_topk`: data-adaptive cells
+    instead of data-oblivious hyperplanes — better recall per probed
+    fraction on clustered corpora. ``nprobe == len(centroids)`` degrades
+    gracefully to the exact :func:`cosine_topk` result (asserted in
+    tests). Still one narrow pass + TakeOrderedAndProject; with the corpus
+    at rest partitioned by cell the non-probed cells are never read."""
+    probes = ivf_probe_cells(query_vec, centroids, nprobe)
+    assigned = ivf_assign(
+        df.filter(F.col(vec_col).isNotNull()), centroids, vec_col
+    )
+    pruned = assigned.filter(F.col("cell").isin(probes))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
 def derive_n_planes(n_rows: int, target_bucket: int = 64) -> int:
     """Plane count for :func:`embedding_near_duplicates` from the corpus
     size: ~n/2^planes rows per bucket on uniform data, so planes =

@@ -1,0 +1,116 @@
+"""As-of join: semantics vs a naive per-row reference, direction/tolerance
+variants, tie determinism, and the no-join plan shape."""
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.joins import asof_join
+
+
+def _ts(m, s=0, us=0):
+    return dt.datetime(2024, 1, 1, 0, m, s, us)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(0), 100, 10.0),
+            ("A", _ts(5), 101, 10.5),
+            ("A", _ts(5), 102, 10.6),  # same-ts tie: max payload must win
+            ("A", _ts(9), 103, 11.0),
+            ("B", _ts(2), 200, 20.0),
+        ],
+        "sym string, ts timestamp_ntz, quote_id long, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts(1), 1),   # -> quote 100
+            ("A", _ts(5), 2),   # inclusive: -> quote 102 (tie, max payload)
+            ("A", _ts(7), 3),   # -> quote 102
+            ("A", _ts(30), 4),  # -> quote 103 (far; tolerance test nulls it)
+            ("B", _ts(0), 5),   # before any quote -> NULL
+            ("C", _ts(4), 6),   # keyless -> NULL
+        ],
+        "sym string, ts timestamp_ntz, trade_id long",
+    )
+    return quotes, trades
+
+
+def _naive_backward(quotes, trades):
+    """Driver-side reference: per trade, scan all quotes."""
+    out = {}
+    for t in trades:
+        best = None
+        for q in quotes:
+            if q[0] == t[0] and q[1] <= t[1]:
+                k = (q[1], q[2], q[3])
+                if best is None or k > (best[1], best[2], best[3]):
+                    best = q
+        out[t[2]] = None if best is None else best[2]
+    return out
+
+
+def test_backward_matches_naive(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    got = {
+        r["trade_id"]: r["q_quote_id"]
+        for r in asof_join(
+            trades, quotes, on="sym", prefix="q_"
+        ).collect()
+    }
+    want = _naive_backward(quotes.collect(), trades.collect())
+    assert got == want
+    assert got[2] == 102  # inclusive bound AND max-payload tie rule
+    assert got[5] is None and got[6] is None  # left-join semantics
+
+
+def test_forward_direction(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    got = {
+        r["trade_id"]: r["q_quote_id"]
+        for r in asof_join(
+            trades, quotes, on="sym", prefix="q_", direction="forward"
+        ).collect()
+    }
+    # trade 1 @00:01 -> next quote @00:05; ties at the matched ts -> max
+    assert got == {1: 102, 2: 102, 3: 103, 4: None, 5: 200, 6: None}
+
+
+def test_tolerance_nulls_far_matches(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    got = {
+        r["trade_id"]: r["q_quote_id"]
+        for r in asof_join(
+            trades, quotes, on="sym", prefix="q_", tolerance_seconds=300
+        ).collect()
+    }
+    # trade 4 @00:30 is 21 min past quote 103 @00:09 -> beyond 5 min band
+    assert got[4] is None and got[1] == 100
+    # rows are kept (left join), only the payload is nulled
+    assert len(got) == 6
+
+
+def test_right_cols_subset_and_row_preservation(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on="sym", right_cols=["px"], prefix="q_")
+    assert out.columns == ["sym", "ts", "trade_id", "q_ts", "q_px"]
+    assert out.count() == trades.count()
+
+
+def test_plan_has_no_join(spark, quotes_trades):
+    """The whole operator is union + ONE window: no Join node, and exactly
+    one Exchange (the key hash partitioning) feeding the sort."""
+    quotes, trades = quotes_trades
+    plan = asof_join(trades, quotes, on="sym")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_invalid_direction_raises(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on="sym", direction="nearest")

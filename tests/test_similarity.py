@@ -238,3 +238,118 @@ def test_knn_join_empty_query_side(spark, vectors):
     out = knn_join(df, df.limit(0), k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "id", "score", "rank"]
+
+
+# --------------------------------------------------------------------------
+# IVF (coarse-quantizer) search
+# --------------------------------------------------------------------------
+
+
+def test_train_ivf_deterministic_and_unit_norm(vectors):
+    from ocr_spark.operators.similarity import train_ivf_centroids
+
+    df, _ = vectors
+    c1 = train_ivf_centroids(df, 4, sample_n=128, iters=4)
+    c2 = train_ivf_centroids(df, 4, sample_n=128, iters=4)
+    assert c1 == c2  # bit-identical retrain
+    for cent in c1:
+        assert abs(math.sqrt(sum(x * x for x in cent)) - 1.0) < 1e-9
+
+
+def test_ivf_assign_matches_numpy_argmax(vectors):
+    import numpy as np
+
+    from ocr_spark.operators.similarity import ivf_assign, train_ivf_centroids
+
+    df, byid = vectors
+    cents = train_ivf_centroids(df, 4, sample_n=128, iters=4)
+    got = {
+        r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()
+    }
+    c = np.array(cents)
+    for i, v in byid.items():
+        want = int(np.argmax(c @ np.asarray(v, dtype=np.float64)))
+        assert got[i] == want, i
+
+
+def test_ivf_full_probe_equals_exact_topk(vectors):
+    """nprobe == n_cells degrades to the exact brute-force result."""
+    from ocr_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    df, byid = vectors
+    q = byid[0]
+    cents = train_ivf_centroids(df, 4, sample_n=128, iters=4)
+    exact = [(r["id"], r["score"]) for r in cosine_topk(df, q, k=10).collect()]
+    full = [
+        (r["id"], r["score"])
+        for r in ivf_topk(df, q, cents, k=10, nprobe=4).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall_and_subset(vectors):
+    """nprobe=1 still finds the query's own cell-mates (the planted
+    near-dup lands in the query's cell) and never invents ids."""
+    from ocr_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    df, byid = vectors
+    q = byid[0]
+    cents = train_ivf_centroids(df, 4, sample_n=128, iters=4)
+    got = [r["id"] for r in ivf_topk(df, q, cents, k=5, nprobe=1).collect()]
+    assert 0 in got and 200 in got  # self + planted near-dup share the cell
+    assert set(got) <= set(byid)
+
+
+def test_ivf_probe_cells_order_and_count():
+    from ocr_spark.operators.similarity import ivf_probe_cells
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.7, 0.7]]
+    assert ivf_probe_cells([1.0, 0.1], cents, 2) == [0, 3]
+    assert ivf_probe_cells([1.0, 0.1], cents, 4) == [0, 3, 1, 2]
+
+
+def test_ivf_topk_plan_is_narrow(vectors):
+    """Assignment + probe filter + rerank: no Exchange before the
+    TakeOrderedAndProject merge — scan-bound at any scale."""
+    from ocr_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    df, byid = vectors
+    cents = train_ivf_centroids(df, 4, sample_n=128, iters=4)
+    plan = (
+        ivf_topk(df, byid[0], cents, k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_shipped_centroids_contract():
+    """The vendored quantizer file matches its own metadata and the
+    embeddings-table contract (dim 64, unit-norm rows)."""
+    import json
+    from importlib.resources import files
+
+    from ocr_spark.operators.similarity import load_ivf_centroids
+
+    meta = json.loads(
+        files("ocr_spark.data").joinpath("ivf_centroids.json").read_text()
+    )
+    cents = load_ivf_centroids()
+    assert len(cents) == meta["n_cells"] == 8
+    assert all(len(c) == meta["dim"] == 64 for c in cents)
+    for c in cents:
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
+
+
+def test_train_ivf_rejects_tiny_sample(spark):
+    from ocr_spark.operators.similarity import train_ivf_centroids
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    df = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 0.0])], schema)
+    with pytest.raises(ValueError):
+        train_ivf_centroids(df, 4)
