@@ -462,6 +462,42 @@ FROM acts a ASOF LEFT JOIN signups s
 """
 
 
+def _range_join_error_sessions(spark, sf_dir):
+    """Range join: place every error event inside the gap-session interval
+    (from the t8 sessionizer) that contains it. Equi key (user_id) +
+    containment filter — one hash shuffle, never the
+    BroadcastNestedLoopJoin Spark emits for bare range predicates; the
+    keyless bucketed rewrite is pytest-covered (tests/test_joins.py).
+    Oracle: recompute the sessions in SQL and BETWEEN-join."""
+    from ocr_spark.operators.joins import range_join
+
+    sessions = _t8_gap_sessions(spark, sf_dir)
+    errors = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    ).select("event_id", "user_id", "ts")
+    out = range_join(
+        errors, sessions,
+        start_col="session_start", end_col="session_end",
+        on="user_id", prefix="s_",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("s_session_id").alias("session_id"),
+        F.col("s_n_events").alias("session_n_events"),
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+WITH sessions AS ({_T8_GAP_SQL})
+SELECT e.event_id, e.user_id, e.ts,
+       s.session_id, s.n_events AS session_n_events
+FROM events e JOIN sessions s
+  ON e.user_id = s.user_id
+ AND e.ts BETWEEN s.session_start AND s.session_end
+WHERE e.event_type = 'error'
+"""
+
+
 def _a10_value_quantiles(spark, sf_dir):
     """Discrete quantiles (exact element selection — deterministic across
     engines, unlike interpolated percentiles) of event value per type."""
@@ -1833,7 +1869,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_event_stats": _a1_event_stats,
         "a2_zero_filled": _a2_zero_filled,
         "a3_key_stats": _a3_key_stats,
-        "a3_key_usage": _a3_key_usage,
         "a5_counts_by_type": _a5_counts_by_type,
         "a11_type_pivot": _a11_type_pivot,
         "a12_distinct_users": _a12_distinct_users,
@@ -1849,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_assembled_docs": _t8_assembled_docs,
         "t8_gap_sessions": _t8_gap_sessions,
         "asof_signup_attribution": _asof_signup_attribution,
+        "range_join_error_sessions": _range_join_error_sessions,
         "a10_value_quantiles": _a10_value_quantiles,
         "j2_unknown_antijoin": _j2_unknown_antijoin,
         # dedup family
@@ -1899,7 +1935,6 @@ def oracle_sql() -> dict[str, str]:
         "a1_event_stats": _A1_SQL,
         "a2_zero_filled": _A2Z_SQL,
         "a3_key_stats": _A3_SQL,
-        "a3_key_usage": _A3_USAGE_SQL,
         "a5_counts_by_type": _A5_SQL,
         "a11_type_pivot": _A11_SQL,
         "a12_distinct_users": _A12_SQL,
@@ -1914,6 +1949,7 @@ def oracle_sql() -> dict[str, str]:
         "t8_assembled_docs": _T8_ASSEMBLED_SQL,
         "t8_gap_sessions": _T8_GAP_SQL,
         "asof_signup_attribution": _ASOF_SQL,
+        "range_join_error_sessions": _RANGE_JOIN_SQL,
         "a10_value_quantiles": _A10_SQL,
         "j2_unknown_antijoin": _J2_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
@@ -1957,6 +1993,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_mp": _ann_lsh_topk_mp,
         "a2_events_by_date": _a2_events_by_date,
         "a12_approx_distinct": _a12_approx_distinct,
+        "a3_key_usage": _a3_key_usage,
     }
 
 
@@ -1968,6 +2005,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_np": _ANN_SQL,
         "ann_lsh_topk_mp": _ann_lsh_mp_sql(),
         "a2_events_by_date": _A2_SQL,
+        "a3_key_usage": _A3_USAGE_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

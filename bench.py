@@ -40,6 +40,7 @@ HEADLINE = [
     "knn_join",
     "embedding_near_dup",
     "asof_signup_attribution",
+    "range_join_error_sessions",
     "lang_id_counts",
     "doc_quality",
     "bpe_token_counts",

@@ -1,4 +1,4 @@
-"""Time-series joins: as-of join expressed without a join.
+"""Time-series joins: as-of and range joins in scale-safe shapes.
 
 The as-of join ("for each left row, the latest right row at or before it,
 per key") is the workhorse of event attribution — tie each action to the
@@ -118,3 +118,83 @@ def asof_join(
     cols.append(F.col("_asof_m._ts").alias(f"{prefix}{rts}"))
     cols.extend(F.col(f"_asof_m.{c}").alias(f"{prefix}{c}") for c in payload_cols)
     return out.select(*cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    start_col: str,
+    end_col: str,
+    left_ts: str = "ts",
+    on: str | list[str] | None = None,
+    bucket_seconds: float | None = None,
+    prefix: str = "right_",
+) -> DataFrame:
+    """Interval-containment join: each ``left`` row paired with every
+    ``right`` interval where ``start_col <= left_ts <= end_col``
+    (inclusive both ends), optionally also matching equi keys ``on``.
+
+    Spark has no native range-join strategy: a bare range predicate
+    compiles to BroadcastNestedLoopJoin (or a cartesian product) — an
+    all-pairs scan that dies at scale. Two shapes avoid it:
+
+    - With ``on`` keys: ordinary equi join on the keys, range predicate as
+      the join filter. One hash shuffle; the range never drives the join.
+    - Without keys: the BUCKETING rewrite (the technique behind
+      Databricks' range-join optimization and interval libraries such as
+      bedtools' binning, both public designs). Each interval explodes to
+      one row per ``bucket_seconds``-wide time bucket it overlaps
+      (``sequence`` on the bucket index — fan-out is
+      interval_length/bucket + 1); each point maps to its single bucket;
+      an EQUI join on the bucket index meets them; the exact containment
+      filter runs on the matched pairs. A (point, interval) pair meets in
+      exactly one bucket — the point's — so no dedup pass is needed.
+      Pick ``bucket_seconds`` near the typical interval length: wider
+      buckets explode less but funnel more candidates per bucket.
+
+    Returns the left columns plus each right column under ``prefix``
+    (inner-join semantics: unmatched left rows drop; a point inside k
+    overlapping intervals yields k rows).
+    """
+    keys = [on] if isinstance(on, str) else list(on or [])
+    overlap = set(keys)
+    rcols = [c for c in right.columns if c not in overlap]
+    rpref = right.select(
+        *keys, *[F.col(c).alias(f"{prefix}{c}") for c in rcols]
+    )
+    p_start, p_end = f"{prefix}{start_col}", f"{prefix}{end_col}"
+    contained = (F.col(left_ts) >= F.col(p_start)) & (
+        F.col(left_ts) <= F.col(p_end)
+    )
+
+    if keys:
+        joined = left.join(rpref, on=keys, how="inner").filter(contained)
+        return joined.select(
+            *left.columns, *[f"{prefix}{c}" for c in rcols]
+        )
+
+    if bucket_seconds is None:
+        raise ValueError("keyless range_join requires bucket_seconds")
+    w = int(bucket_seconds)
+    if w <= 0:
+        raise ValueError("bucket_seconds must be positive")
+
+    # bucket index = whole-second epoch / width. The bucketing is internal
+    # only (the exact containment filter decides semantics), so it just has
+    # to be the SAME monotonic function on both sides; TIMESTAMP_NTZ gets a
+    # plain TIMESTAMP cast first (session-tz consistent within the job).
+    def bidx(col: str):
+        return F.floor(
+            F.col(col).cast("timestamp").cast("long") / F.lit(w)
+        ).cast("long")
+
+    points = left.withColumn("_rj_bucket", bidx(left_ts))
+    intervals = rpref.withColumn(
+        "_rj_bucket",
+        F.explode(F.sequence(bidx(p_start), bidx(p_end))),
+    )
+    joined = points.join(intervals, on="_rj_bucket", how="inner").filter(
+        contained
+    )
+    return joined.select(*left.columns, *[f"{prefix}{c}" for c in rcols])

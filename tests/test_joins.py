@@ -114,3 +114,103 @@ def test_invalid_direction_raises(spark, quotes_trades):
     quotes, trades = quotes_trades
     with pytest.raises(ValueError):
         asof_join(trades, quotes, on="sym", direction="nearest")
+
+
+# --------------------------------------------------------------------------
+# Range join (interval containment)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def points_intervals(spark):
+    points = spark.createDataFrame(
+        [
+            (1, "A", _ts(0, 30)),
+            (2, "A", _ts(5)),      # boundary: == start of [5,9]
+            (3, "A", _ts(9)),      # boundary: == end of [5,9]
+            (4, "B", _ts(3)),
+            (5, "B", _ts(59)),     # no interval
+            (6, "A", _ts(7)),      # inside two overlapping intervals
+        ],
+        "point_id long, k string, ts timestamp_ntz",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, "A", _ts(0), _ts(2)),
+            (11, "A", _ts(5), _ts(9)),
+            (12, "A", _ts(6), _ts(40)),  # overlaps 11; spans many buckets
+            (13, "B", _ts(0), _ts(4)),
+        ],
+        "iv_id long, k string, s timestamp_ntz, e timestamp_ntz",
+    )
+    return points, intervals
+
+
+def _naive_pairs(points, intervals, keyed):
+    out = set()
+    for p in points:
+        for iv in intervals:
+            if keyed and p[1] != iv[1]:
+                continue
+            if iv[2] <= p[2] <= iv[3]:
+                out.add((p[0], iv[0]))
+    return out
+
+
+def test_range_join_keyed_matches_naive(spark, points_intervals):
+    from ocr_spark.operators.joins import range_join
+
+    points, intervals = points_intervals
+    got = {
+        (r["point_id"], r["iv_iv_id"])
+        for r in range_join(
+            points, intervals,
+            start_col="s", end_col="e", on="k", prefix="iv_",
+        ).collect()
+    }
+    assert got == _naive_pairs(points.collect(), intervals.collect(), keyed=True)
+
+
+@pytest.mark.parametrize("bucket_seconds", [60, 300, 3600])
+def test_range_join_keyless_matches_naive_any_bucket(
+    spark, points_intervals, bucket_seconds
+):
+    """Bucket width changes cost, never results — including intervals that
+    span many buckets (matched exactly once: the meeting bucket is the
+    point's own) and boundary-inclusive endpoints."""
+    from ocr_spark.operators.joins import range_join
+
+    points, intervals = points_intervals
+    out = range_join(
+        points, intervals.drop("k"),
+        start_col="s", end_col="e",
+        bucket_seconds=bucket_seconds, prefix="iv_",
+    )
+    got = [(r["point_id"], r["iv_iv_id"]) for r in out.collect()]
+    assert len(got) == len(set(got))  # exactly-once per pair, no dedup pass
+    assert set(got) == _naive_pairs(
+        points.collect(), intervals.collect(), keyed=False
+    )
+
+
+def test_range_join_keyless_plan_is_equi(spark, points_intervals):
+    """The whole point: the keyless range join compiles to an EQUI join on
+    the bucket index — never BroadcastNestedLoopJoin / CartesianProduct."""
+    from ocr_spark.operators.joins import range_join
+
+    points, intervals = points_intervals
+    plan = range_join(
+        points, intervals.drop("k"), start_col="s", end_col="e",
+        bucket_seconds=600, prefix="iv_",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_rj_bucket" in plan  # the equi key the join runs on
+
+
+def test_range_join_keyless_requires_bucket(spark, points_intervals):
+    from ocr_spark.operators.joins import range_join
+
+    points, intervals = points_intervals
+    with pytest.raises(ValueError):
+        range_join(points, intervals.drop("k"), start_col="s", end_col="e")
