@@ -472,6 +472,44 @@ def ivf_topk(
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index at rest: the corpus written
+    ``partitionBy(cell)`` so each coarse cell is its own partition
+    directory. This is what turns :func:`ivf_topk`'s probe filter from a
+    post-scan filter into PARTITION PRUNING — a query then reads only the
+    nprobe/n_cells fraction of the bytes (plan-pinned in
+    tests/test_similarity.py). One narrow assignment pass + the write;
+    no shuffle beyond the sink's own file layout."""
+    ivf_assign(df, centroids, vec_col).write.partitionBy("cell").mode(
+        mode
+    ).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_topk` over a :func:`write_ivf_index` corpus: the probe
+    cells prune whole partition directories at planning time (the scan's
+    PartitionFilters), so non-probed cells are never opened. Identical
+    results to the on-the-fly variant with the same centroids."""
+    probes = ivf_probe_cells(query_vec, centroids, nprobe)
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
 def derive_n_planes(n_rows: int, target_bucket: int = 64) -> int:
     """Plane count for :func:`embedding_near_duplicates` from the corpus
     size: ~n/2^planes rows per bucket on uniform data, so planes =

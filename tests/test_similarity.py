@@ -353,3 +353,34 @@ def test_train_ivf_rejects_tiny_sample(spark):
     df = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 0.0])], schema)
     with pytest.raises(ValueError):
         train_ivf_centroids(df, 4)
+
+
+def test_ivf_index_at_rest_prunes_partitions(spark, vectors, tmp_path):
+    """write_ivf_index + ivf_topk_indexed: the probe filter becomes
+    partition pruning (PartitionFilters on the scan), results identical
+    to the on-the-fly assignment path."""
+    from ocr_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    df, byid = vectors
+    q = byid[0]
+    cents = train_ivf_centroids(df, 4, sample_n=128, iters=4)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(df, path, cents)
+
+    indexed = ivf_topk_indexed(spark, path, q, cents, k=5, nprobe=2)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+
+    got = [(r["id"], r["score"]) for r in indexed.collect()]
+    want = [
+        (r["id"], r["score"])
+        for r in ivf_topk(df, q, cents, k=5, nprobe=2).collect()
+    ]
+    assert got == want

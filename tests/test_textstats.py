@@ -138,7 +138,7 @@ def test_approx_distinct_within_tolerance(spark):
     }
     approx = {
         r["event_type"]: r["n_users_approx"]
-        for r in e.queries()["a12_approx_distinct"](spark, sf).collect()
+        for r in e.extra_queries()["a12_approx_distinct"](spark, sf).collect()
     }
     assert exact.keys() == approx.keys()
     for t, n in exact.items():
