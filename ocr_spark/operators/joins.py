@@ -55,6 +55,11 @@ def asof_join(
     column — NULL where no right row qualifies. ``tolerance_seconds``
     additionally nulls matches farther than that gap (kept rows, NULLed
     payload — left-join semantics throughout).
+
+    NULL hygiene (= equi-join semantics, matching the DuckDB oracle):
+    right rows with a NULL key or NULL timestamp never match anything
+    (dropped from the match side); left rows with a NULL key or NULL
+    timestamp are kept with a NULL match.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -67,7 +72,10 @@ def asof_join(
     # tie groups share it, so it never perturbs the max-payload tie rule)
     pay_fields = [F.col(rts).alias("_ts"), *(F.col(c).alias(c) for c in payload_cols)]
 
-    right_part = right.select(
+    right_matchable = right.filter(F.col(rts).isNotNull())
+    for k in keys:
+        right_matchable = right_matchable.filter(F.col(k).isNotNull())
+    right_part = right_matchable.select(
         *keys,
         F.col(rts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
@@ -100,18 +108,26 @@ def asof_join(
         .orderBy(ts_order, F.col("_asof_side").asc(), F.col("_asof_r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = F.last("_asof_r", ignorenulls=True).over(w)
+    # a NULL left timestamp never matches (in forward mode it would sort
+    # NULLS LAST in the desc ordering and see every right row)
+    matched = F.when(
+        F.col("_asof_ts").isNotNull(),
+        F.last("_asof_r", ignorenulls=True).over(w),
+    )
 
     out = unioned.withColumn("_asof_m", matched).filter(F.col("_asof_side") == 1)
     if tolerance_seconds is not None:
-        iv = F.expr(f"INTERVAL '{float(tolerance_seconds)}' SECOND")
-        in_band = (
-            F.col("_asof_m._ts") >= F.col("_asof_ts") - iv
+        # numeric microsecond gap, not an interval literal: float-formatted
+        # literals break on scientific notation (5e-05), and timestamp_diff
+        # works on TIMESTAMP and TIMESTAMP_NTZ alike
+        tol_us = int(round(float(tolerance_seconds) * 1_000_000))
+        gap_us = (
+            F.timestamp_diff("MICROSECOND", F.col("_asof_m._ts"), F.col("_asof_ts"))
             if direction == "backward"
-            else F.col("_asof_m._ts") <= F.col("_asof_ts") + iv
+            else F.timestamp_diff("MICROSECOND", F.col("_asof_ts"), F.col("_asof_m._ts"))
         )
         out = out.withColumn(
-            "_asof_m", F.when(in_band, F.col("_asof_m"))
+            "_asof_m", F.when(gap_us <= tol_us, F.col("_asof_m"))
         )
 
     cols = [F.col(f"_asof_l.{c}").alias(c) for c in left.columns]
@@ -176,7 +192,7 @@ def range_join(
 
     if bucket_seconds is None:
         raise ValueError("keyless range_join requires bucket_seconds")
-    w = int(bucket_seconds)
+    w = float(bucket_seconds)
     if w <= 0:
         raise ValueError("bucket_seconds must be positive")
 
@@ -184,6 +200,8 @@ def range_join(
     # only (the exact containment filter decides semantics), so it just has
     # to be the SAME monotonic function on both sides; TIMESTAMP_NTZ gets a
     # plain TIMESTAMP cast first (session-tz consistent within the job).
+    # Fractional widths are valid (floor stays monotonic); the epoch is
+    # second-granular, so sub-second widths only add fan-out, never misses.
     def bidx(col: str):
         return F.floor(
             F.col(col).cast("timestamp").cast("long") / F.lit(w)

@@ -214,3 +214,81 @@ def test_range_join_keyless_requires_bucket(spark, points_intervals):
     points, intervals = points_intervals
     with pytest.raises(ValueError):
         range_join(points, intervals.drop("k"), start_col="s", end_col="e")
+
+
+def test_asof_null_hygiene(spark):
+    """NULL timestamps and NULL keys never match (equi-join semantics,
+    matching DuckDB ASOF): right NULLs are dropped from the match side,
+    left NULLs keep their row with a NULL match — in BOTH directions."""
+    from ocr_spark.operators.joins import asof_join
+
+    quotes = spark.createDataFrame(
+        [
+            ("A", None, 100, 1.0),        # NULL right ts: never a match
+            (None, _ts(1), 101, 2.0),     # NULL right key: never a match
+            ("A", _ts(5), 102, 3.0),
+        ],
+        "sym string, ts timestamp_ntz, quote_id long, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts(6), 1),    # -> 102 only (not the NULL-ts phantom)
+            ("A", None, 2),      # NULL left ts -> no match, row kept
+            (None, _ts(6), 3),   # NULL left key -> no match, row kept
+            ("A", _ts(2), 4),    # backward: only NULL-ts/NULL-key rights precede -> None
+        ],
+        "sym string, ts timestamp_ntz, trade_id long",
+    )
+    for direction, want in (
+        ("backward", {1: 102, 2: None, 3: None, 4: None}),
+        ("forward", {1: None, 2: None, 3: None, 4: 102}),
+    ):
+        got = {
+            r["trade_id"]: r["q_quote_id"]
+            for r in asof_join(
+                trades, quotes, on="sym", prefix="q_", direction=direction
+            ).collect()
+        }
+        assert got == want, direction
+
+
+def test_asof_subsecond_tolerance(spark):
+    """tolerance_seconds below 1e-4 (scientific-notation repr) must work:
+    the band is a numeric microsecond comparison, not an interval literal."""
+    from ocr_spark.operators.joins import asof_join
+
+    quotes = spark.createDataFrame(
+        [("A", _ts(0, 0, 0), 100, 1.0), ("A", _ts(0, 0, 900), 101, 2.0)],
+        "sym string, ts timestamp_ntz, quote_id long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", _ts(0, 0, 940), 1)],
+        "sym string, ts timestamp_ntz, trade_id long",
+    )
+    got = {
+        r["trade_id"]: r["q_quote_id"]
+        for r in asof_join(
+            trades, quotes, on="sym", prefix="q_", tolerance_seconds=5e-05
+        ).collect()
+    }
+    assert got == {1: 101}  # 40us gap inside the 50us band; 940us quote out
+
+
+def test_range_join_fractional_bucket_seconds(spark, points_intervals):
+    from ocr_spark.operators.joins import range_join
+
+    points, intervals = points_intervals
+    out = range_join(
+        points, intervals.drop("k"),
+        start_col="s", end_col="e", bucket_seconds=90.7, prefix="iv_",
+    )
+    got = [(r["point_id"], r["iv_iv_id"]) for r in out.collect()]
+    assert len(got) == len(set(got))
+    assert set(got) == _naive_pairs(
+        points.collect(), intervals.collect(), keyed=False
+    )
+    with pytest.raises(ValueError):
+        range_join(
+            points, intervals.drop("k"),
+            start_col="s", end_col="e", bucket_seconds=0.0,
+        )
