@@ -1291,6 +1291,53 @@ ORDER BY score DESC, id ASC LIMIT 10
 """
 
 
+def _doc_tf_embeddings(spark, sf_dir):
+    """Feature-hashed TF embeddings straight from the documents table
+    (hashing trick, ICML'09) — the documents → embeddings bridge that lets
+    the whole ANN/near-dup family run on raw text. One narrow staged fold,
+    no shuffle; counts are integer-exact doubles so the L2 normalization
+    is bit-identical however the oracle re-derives them (grid + left join
+    in SQL vs per-row fold in Spark)."""
+    from ocr_spark.operators.similarity import hashed_tf_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hashed_tf_embed(docs, dim=16)
+    return emb.select(
+        "doc_id",
+        F.transform(F.col("embedding"), lambda x: F.round(x, 6)).alias(
+            "embedding"
+        ),
+    )
+
+
+_DOC_TF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS t
+  FROM documents
+),
+bc AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS b,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM toks GROUP BY doc_id, b
+),
+grid AS (
+  SELECT d.doc_id, gs.i FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) gs
+),
+cnt AS (
+  SELECT g.doc_id, g.i, COALESCE(bc.c, 0.0) AS c
+  FROM grid g LEFT JOIN bc ON bc.doc_id = g.doc_id AND bc.b = g.i
+),
+arr AS (SELECT doc_id, list(c ORDER BY i) AS cnts FROM cnt GROUP BY doc_id)
+SELECT doc_id,
+       list_transform(cnts, x -> ROUND(CASE WHEN nrm = 0 THEN x
+                                            ELSE x / nrm END, 6)) AS embedding
+FROM (SELECT doc_id, cnts,
+             sqrt(list_sum(list_transform(cnts, x -> x * x))) AS nrm
+      FROM arr)
+"""
+
+
 def _ann_cosine_topk_np(spark, sf_dir):
     """BLAS variant of the exact top-k (one matmul per Arrow batch,
     per-partition k-selection) — same oracle as the expression version."""
@@ -1994,6 +2041,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_events_by_date": _a2_events_by_date,
         "a12_approx_distinct": _a12_approx_distinct,
         "a3_key_usage": _a3_key_usage,
+        "doc_tf_embeddings": _doc_tf_embeddings,
     }
 
 
@@ -2006,6 +2054,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_lsh_topk_mp": _ann_lsh_mp_sql(),
         "a2_events_by_date": _A2_SQL,
         "a3_key_usage": _A3_USAGE_SQL,
+        "doc_tf_embeddings": _DOC_TF_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

@@ -417,6 +417,59 @@ def ivf_assign(
     return df.withColumn(cell_col, cell)
 
 
+def hashed_tf_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    out_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashed term-frequency embedding (the hashing trick —
+    Weinberger et al., "Feature Hashing for Large Scale Multitask
+    Learning", ICML 2009): token → md5-bucket in [0, dim), per-bucket
+    counts, optional L2 normalization. Closes the documents → embeddings
+    loop: any text table becomes input for the whole ANN/near-dup family
+    (cosine of normalized hashed-TF approximates token-multiset cosine).
+
+    Pure narrow built-ins — tokens staged once, then ONE aggregate fold
+    updating a dim-length array (O(tokens·dim) cheap JVM ops per row, no
+    shuffle, no Python). Determinism: counts are integer-valued doubles
+    (exact at any corpus size), so the normalization (count / sqrt(Σc²))
+    is bit-identical however the oracle re-derives the counts.
+    """
+    from ocr_spark.operators.textstats import tokens
+
+    bucket = lambda t: (  # noqa: E731 — md5-prefix bucket, DuckDB-portable
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim
+    )
+    staged = df.withColumn("_tfe_h", F.transform(tokens(text_col), bucket))
+    # counts staged in their OWN projection: Spark has no cross-expression
+    # CSE for non-codegen projections, so referencing the fold from the
+    # norm AND both when-branches would evaluate it three times per row
+    staged = staged.withColumn(
+        "_tfe_c",
+        F.aggregate(
+            F.col("_tfe_h"),
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, h: F.transform(
+                acc,
+                lambda x, i: x + F.when(i.cast("long") == h, 1.0).otherwise(0.0),
+            ),
+        ),
+    ).drop("_tfe_h")
+    if not normalize:
+        return staged.withColumn(out_col, F.col("_tfe_c")).drop("_tfe_c")
+    c = F.col("_tfe_c")
+    # norm staged too: the division references it once per element
+    staged = staged.withColumn(
+        "_tfe_n", F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+    )
+    emb = F.when(F.col("_tfe_n") == 0, c).otherwise(
+        F.transform(c, lambda x: x / F.col("_tfe_n"))
+    )
+    return staged.withColumn(out_col, emb).drop("_tfe_c", "_tfe_n")
+
+
 def load_ivf_centroids() -> list[list[float]]:
     """The shipped coarse quantizer (``ocr_spark/data/ivf_centroids.json``,
     trained by ``tools/train_ivf.py`` on the synthetic sf0.001 embeddings

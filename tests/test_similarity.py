@@ -384,3 +384,51 @@ def test_ivf_index_at_rest_prunes_partitions(spark, vectors, tmp_path):
         for r in ivf_topk(df, q, cents, k=5, nprobe=2).collect()
     ]
     assert got == want
+
+
+def test_hashed_tf_embed_composes_with_ann(spark):
+    """The documents→embeddings bridge: near-identical texts get cosine
+    ≈ 1 and surface as each other's top neighbor; unrelated text does
+    not. Zero-token docs get a zero vector (no NaN)."""
+    from ocr_spark.operators.similarity import cosine_topk, hashed_tf_embed
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumped over the lazy dog"),
+            (2, "completely different subject matter entirely unrelated"),
+            (3, "!!! 123 ??"),  # no [a-z]{3,} tokens -> zero vector
+        ],
+        "doc_id long, text string",
+    )
+    emb = hashed_tf_embed(docs, dim=32)
+    rows = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert all(v == 0.0 for v in rows[3])
+    n0 = sum(x * x for x in rows[0])
+    assert abs(n0 - 1.0) < 1e-9  # unit norm
+
+    top = cosine_topk(
+        emb.filter(F.col("doc_id") != 0),
+        rows[0],
+        k=3,
+        id_col="doc_id",
+        vec_col="embedding",
+    ).collect()
+    assert top[0]["id"] == 1 and top[0]["score"] > 0.9
+    assert {r["id"] for r in top} >= {1, 2}
+
+
+def test_hashed_tf_embed_counts_mode_and_plan(spark):
+    """normalize=False returns raw integer-valued counts; the whole
+    operator is narrow (no Exchange)."""
+    from ocr_spark.operators.similarity import hashed_tf_embed
+
+    docs = spark.createDataFrame(
+        [(0, "aaa bbb aaa"), (1, "ccc")], "doc_id long, text string"
+    )
+    out = hashed_tf_embed(docs, dim=8, normalize=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r["doc_id"]: r["embedding"] for r in out.collect()}
+    assert sum(rows[0]) == 3.0 and sum(rows[1]) == 1.0
+    assert all(float(v).is_integer() for v in rows[0])
