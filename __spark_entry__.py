@@ -1683,6 +1683,121 @@ FROM documents
 """
 
 
+#: deterministic PII seeding for the redaction gate: the synthetic corpus
+#: contains no emails/IPs/numbers, so the query plants one of each per row
+#: (derived from doc_id, identically in Spark and DuckDB) — the oracle then
+#: checks the full redaction chain does real work on every row, not just
+#: the identity path.
+def _pii_seeded_spark(docs):
+    m = lambda k: (F.col("doc_id") % k).cast("string")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail-"),
+            m(7),
+            F.lit(".example.com via 10."),
+            m(200),
+            F.lit(".0."),
+            m(250),
+            F.lit(" tel 0812-"),
+            (F.col("doc_id") % 1000000 + 1000000).cast("string"),
+        ).alias("text"),
+    )
+
+
+_PII_SEED_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail-' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example.com via 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || ' tel 0812-' || CAST(doc_id % 1000000 + 1000000 AS VARCHAR)"
+)
+
+
+def _pii_redaction(spark, sf_dir):
+    from ocr_spark.operators.redaction import with_pii_redacted
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_pii_redacted(_pii_seeded_spark(docs)).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_longnum",
+        F.md5("redacted").alias("red_hash"),
+    )
+
+
+def _pii_sql() -> str:
+    from ocr_spark.operators.redaction import pii_rules_sql
+
+    redacted, (n_email, n_ipv4, n_longnum) = pii_rules_sql("text")
+    return f"""
+WITH seeded AS (SELECT doc_id, {_PII_SEED_SQL} AS text FROM documents)
+SELECT doc_id,
+       CAST({n_email} AS INT) AS n_email,
+       CAST({n_ipv4} AS INT) AS n_ipv4,
+       CAST({n_longnum} AS INT) AS n_longnum,
+       md5({redacted}) AS red_hash
+FROM seeded
+"""
+
+
+_N_SHARDS = 8
+
+
+def _training_shards(spark, sf_dir):
+    from ocr_spark.operators.sharding import shard_histogram
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return shard_histogram(docs, _N_SHARDS)
+
+
+_SHARDS_SQL = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {_N_SHARDS} AS INT) AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+
+def _source_stats(spark, sf_dir):
+    from ocr_spark.operators.textstats import source_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return source_stats(docs)
+
+
+def _source_stats_sql() -> str:
+    return f"""
+WITH q AS ({_quality_sql()}),
+f AS ({_FINGERPRINT_SQL}),
+j AS (SELECT d.source, q.quality_score, f.fingerprint
+      FROM documents d
+      JOIN q ON d.doc_id = q.doc_id
+      JOIN f ON d.doc_id = f.doc_id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_unique,
+       ROUND(1 - count(DISTINCT fingerprint) / CAST(count(*) AS DOUBLE), 4)
+         AS dup_rate,
+       ROUND(avg(quality_score), 4) AS avg_quality,
+       CAST(min(quality_score) AS INT) AS min_quality,
+       CAST(max(quality_score) AS INT) AS max_quality
+FROM j GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Generic relational breadth: TPC-H-style aggregate + broadcast joins.
 # ---------------------------------------------------------------------------
@@ -1917,7 +2032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_zero_filled": _a2_zero_filled,
         "a3_key_stats": _a3_key_stats,
         "a5_counts_by_type": _a5_counts_by_type,
-        "a11_type_pivot": _a11_type_pivot,
         "a12_distinct_users": _a12_distinct_users,
         "a4_learning_stats": _a4_learning_stats,
         "a7_word_frequency": _a7_word_frequency,
@@ -1929,7 +2043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_import_merge": _s6_import_merge,
         "t8_event_sessions": _t8_event_sessions,
         "t8_assembled_docs": _t8_assembled_docs,
-        "t8_gap_sessions": _t8_gap_sessions,
         "asof_signup_attribution": _asof_signup_attribution,
         "range_join_error_sessions": _range_join_error_sessions,
         "a10_value_quantiles": _a10_value_quantiles,
@@ -1958,7 +2071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "token_counts": _token_counts,
         "bpe_token_counts": _bpe_token_counts,
-        "fingerprints": _fingerprints,
+        "pii_redaction": _pii_redaction,
+        "source_stats": _source_stats,
+        # sharded training-corpus write (histogram = the queryable stage)
+        "training_shards": _training_shards,
         # relational breadth
         "q1_pricing": _q1_pricing,
         "q3_nation_revenue": _q3_nation_revenue,
@@ -1983,7 +2099,6 @@ def oracle_sql() -> dict[str, str]:
         "a2_zero_filled": _A2Z_SQL,
         "a3_key_stats": _A3_SQL,
         "a5_counts_by_type": _A5_SQL,
-        "a11_type_pivot": _A11_SQL,
         "a12_distinct_users": _A12_SQL,
         "a4_learning_stats": _A4_SQL,
         "a7_word_frequency": _A7_SQL,
@@ -1994,7 +2109,6 @@ def oracle_sql() -> dict[str, str]:
         "s6_import_merge": _s6_sql(),
         "t8_event_sessions": _T8_SQL,
         "t8_assembled_docs": _T8_ASSEMBLED_SQL,
-        "t8_gap_sessions": _T8_GAP_SQL,
         "asof_signup_attribution": _ASOF_SQL,
         "range_join_error_sessions": _RANGE_JOIN_SQL,
         "a10_value_quantiles": _A10_SQL,
@@ -2015,7 +2129,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_counts": _langid_sql(),
         "doc_quality": _quality_sql(),
         "token_counts": _TOKEN_COUNTS_SQL,
-        "fingerprints": _FINGERPRINT_SQL,
+        "pii_redaction": _pii_sql(),
+        "source_stats": _source_stats_sql(),
+        "training_shards": _SHARDS_SQL,
         "q1_pricing": _Q1_SQL,
         "q3_nation_revenue": _Q3_SQL,
         "q5_region_volume": _Q5_SQL,
@@ -2028,9 +2144,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed physical VARIANTS of queries already in
     :func:`queries` — numpy vs higher-order-function top-k, multi-probe vs
     single-bucket LSH, the signature-only stages the near-dup pipelines
-    subsume, the corpus anti-join over the same connected components. Kept
-    out of the driver's 50-row gate so every distinct operator family gets
-    a recorded row there; run them with
+    subsume, the corpus anti-join over the same connected components, and
+    queries subsumed by a gate entry that composes them (fingerprints ⊂
+    source_stats; t8_gap_sessions is the CTE inside
+    range_join_error_sessions; a11's pivot is the a5 rollup re-shaped).
+    Kept out of the driver's 50-row gate so every distinct operator family
+    gets a recorded row there; run them with
     ``python tools/check_oracles.py --extended``."""
     return {
         "minhash_signatures": _minhash_signatures,
@@ -2042,6 +2161,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_approx_distinct": _a12_approx_distinct,
         "a3_key_usage": _a3_key_usage,
         "doc_tf_embeddings": _doc_tf_embeddings,
+        "a11_type_pivot": _a11_type_pivot,
+        "t8_gap_sessions": _t8_gap_sessions,
+        "fingerprints": _fingerprints,
     }
 
 
@@ -2055,6 +2177,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "a2_events_by_date": _A2_SQL,
         "a3_key_usage": _A3_USAGE_SQL,
         "doc_tf_embeddings": _DOC_TF_SQL,
+        "a11_type_pivot": _A11_SQL,
+        "t8_gap_sessions": _T8_GAP_SQL,
+        "fingerprints": _FINGERPRINT_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

@@ -45,6 +45,9 @@ HEADLINE = [
     "doc_quality",
     "bpe_token_counts",
     "fingerprints",
+    "pii_redaction",
+    "source_stats",
+    "training_shards",
     "q1_pricing",
     "q3_nation_revenue",
 ]

@@ -165,6 +165,37 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("_nc", "_na", "_np", "_nt", "_ns")
 
 
+def source_stats(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source curation dashboard: doc count, distinct
+    normalized-content fingerprints, duplicate rate, quality mean/min/max —
+    the domain-level view a web-scale pipeline uses to decide which sources
+    to keep, cap, or drop (per-host/per-domain stats in the web setting).
+
+    Composes :func:`with_quality` + :func:`with_fingerprint` (one narrow
+    scoring pass) into ONE aggregate; ``count(DISTINCT fingerprint)`` plans
+    as Spark's two-stage distinct aggregate (partial per-partition expand,
+    then final), so the shuffle carries (source, fingerprint) pairs — fine
+    at any scale because fingerprints are fixed-width md5, and the number
+    of sources is small."""
+    scored = with_fingerprint(with_quality(df, text_col), text_col)
+    n_docs = F.count(F.lit(1))
+    n_unique = F.countDistinct("fingerprint")
+    return (
+        scored.groupBy(source_col)
+        .agg(
+            n_docs.alias("n_docs"),
+            n_unique.alias("n_unique"),
+            F.round(1 - n_unique / n_docs, 4).alias("dup_rate"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.min("quality_score").alias("min_quality"),
+            F.max("quality_score").alias("max_quality"),
+        )
+        .orderBy(source_col)
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of the casefolded, whitespace-collapsed,
     punctuation-stripped text — the standard "normalized-content hash" used

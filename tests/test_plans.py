@@ -248,3 +248,32 @@ def test_embedding_near_dup_streams_pairs_no_posting_buffer(spark):
     assert "collect_list" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan  # the bucket-key equi-join is the pair source
+
+
+def test_pii_redaction_is_narrow(docs):
+    from ocr_spark.operators.redaction import with_pii_redacted
+
+    plan = _plan(with_pii_redacted(docs.select("doc_id", "text")))
+    assert "Exchange" not in plan  # pure per-row regexp chain
+    assert "EvalPython" not in plan  # JVM expressions only, no Python UDF
+
+
+def test_shard_assignment_narrow_histogram_partial_agg(docs):
+    from ocr_spark.operators.sharding import assign_shards, shard_histogram
+
+    assert "Exchange" not in _plan(
+        assign_shards(docs.select("doc_id"), 8)
+    )  # placement is a projection — no data movement to decide shards
+    plan = _plan(shard_histogram(docs.select("doc_id", "n_chars"), 8))
+    # map-side partial combine before the single shard-key shuffle
+    assert plan.count("Exchange hashpartitioning(shard") == 1
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_source_stats_scan_prunes_columns(docs):
+    from ocr_spark.operators.textstats import source_stats
+
+    plan = _plan(source_stats(docs.select("doc_id", "text", "source")))
+    # the agg needs only text+source — Catalyst prunes even the caller's
+    # doc_id out of the scan
+    assert "ReadSchema: struct<text:string,source:string>" in plan

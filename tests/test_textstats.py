@@ -143,3 +143,29 @@ def test_approx_distinct_within_tolerance(spark):
     assert exact.keys() == approx.keys()
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(2, 5 * 0.02 * n), (t, n, approx[t])
+
+
+def test_source_stats_dup_rate_and_quality(spark):
+    from ocr_spark.operators.textstats import source_stats
+
+    base = "the quick brown fox is one of the animals that can jump far"
+    df = spark.createDataFrame(
+        [
+            # src_a: 3 docs, two of which are formatting variants of the
+            # same content (fingerprint collision intended)
+            (0, base, "src_a"),
+            (1, "The  quick brown fox, is one of the animals that can jump far!", "src_a"),
+            (2, "another document entirely about something else here", "src_a"),
+            # src_b: 2 distinct docs
+            (3, "dokumen ini adalah salah satu dari arsip yang akan", "src_b"),
+            (4, "zz qq xx", "src_b"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["source"]: r for r in source_stats(df).collect()}
+    a, b = rows["src_a"], rows["src_b"]
+    assert (a["n_docs"], a["n_unique"]) == (3, 2)
+    assert a["dup_rate"] == round(1 - 2 / 3, 4)
+    assert (b["n_docs"], b["n_unique"], b["dup_rate"]) == (2, 2, 0.0)
+    for r in (a, b):
+        assert 0 <= r["min_quality"] <= r["avg_quality"] <= r["max_quality"] <= 100
