@@ -505,9 +505,9 @@ def stratified_sample(
     ``DataFrame.sample`` this is seed-and-partitioning-independent — the
     same row set on every run, any cluster, and re-expressible in SQL for
     the oracle. One narrow filter; no shuffle, no sampling state."""
-    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) % 100
+    from ocr_spark.functions.hashing import md5_mod
+
+    bucket = md5_mod(F.col(id_col).cast("string"), 100)
     quota_map = F.create_map(
         *[F.lit(x) for kv in quotas.items() for x in kv]
     )

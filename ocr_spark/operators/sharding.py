@@ -26,10 +26,9 @@ from pyspark.sql import functions as F
 def shard_id(id_col: Column, n_shards: int) -> Column:
     """Stable shard in [0, n_shards) from an id column (any type castable
     to string; same string-ification as the DuckDB oracle's VARCHAR cast)."""
-    if n_shards <= 0:
-        raise ValueError(f"n_shards must be positive, got {n_shards}")
-    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
-    return (h.cast("long") % n_shards).cast("int")
+    from ocr_spark.functions.hashing import md5_mod
+
+    return md5_mod(id_col.cast("string"), n_shards).cast("int")
 
 
 def assign_shards(
@@ -46,15 +45,17 @@ def shard_histogram(
     size_col: str = "n_chars",
 ) -> DataFrame:
     """Per-shard balance stats (docs, bytes, id range) — the observability
-    query for shard skew: one hash aggregate with map-side partial combine."""
+    query for shard skew: one hash aggregate with map-side partial combine.
+    Range column names follow ``id_col`` (``min_doc_id``/``max_doc_id``
+    for the default)."""
     return (
         assign_shards(df, n_shards, id_col)
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(size_col).cast("long").alias("total_chars"),
-            F.min(id_col).alias("min_doc_id"),
-            F.max(id_col).alias("max_doc_id"),
+            F.min(id_col).alias(f"min_{id_col}"),
+            F.max(id_col).alias(f"max_{id_col}"),
         )
         .orderBy("shard")
     )

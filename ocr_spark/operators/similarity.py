@@ -436,13 +436,17 @@ def hashed_tf_embed(
     shuffle, no Python). Determinism: counts are integer-valued doubles
     (exact at any corpus size), so the normalization (count / sqrt(Σc²))
     is bit-identical however the oracle re-derives the counts.
+
+    NULL text embeds to the zero vector (same as empty text) — the
+    no-match behavior the oracle's grid re-derivation produces — rather
+    than poisoning downstream ANN scores with a NULL embedding.
     """
+    from ocr_spark.functions.hashing import md5_mod
     from ocr_spark.operators.textstats import tokens
 
-    bucket = lambda t: (  # noqa: E731 — md5-prefix bucket, DuckDB-portable
-        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim
-    )
-    staged = df.withColumn("_tfe_h", F.transform(tokens(text_col), bucket))
+    bucket = lambda t: md5_mod(t, dim)  # noqa: E731
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    staged = df.withColumn("_tfe_h", F.transform(toks, bucket))
     # counts staged in their OWN projection: Spark has no cross-expression
     # CSE for non-codegen projections, so referencing the fold from the
     # norm AND both when-branches would evaluate it three times per row

@@ -432,3 +432,26 @@ def test_hashed_tf_embed_counts_mode_and_plan(spark):
     rows = {r["doc_id"]: r["embedding"] for r in out.collect()}
     assert sum(rows[0]) == 3.0 and sum(rows[1]) == 1.0
     assert all(float(v).is_integer() for v in rows[0])
+
+
+def test_hashed_tf_embed_null_text_is_zero_vector(spark):
+    """NULL text embeds to the zero vector — the same no-match result the
+    DuckDB oracle's grid re-derivation produces — never a NULL embedding
+    that poisons downstream cosine scores (review finding)."""
+    from ocr_spark.operators.similarity import hashed_tf_embed
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "some words here")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["embedding"] for r in hashed_tf_embed(docs, dim=8).collect()}
+    assert rows[0] == [0.0] * 8
+    assert rows[1] == [0.0] * 8
+    assert any(x != 0.0 for x in rows[2])
+
+
+def test_hashed_tf_embed_rejects_bad_dim(spark):
+    from ocr_spark.operators.similarity import hashed_tf_embed
+
+    docs = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        hashed_tf_embed(docs, dim=0)
