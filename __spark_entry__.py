@@ -1683,6 +1683,39 @@ FROM documents
 """
 
 
+def _winnow_fingerprints(spark, sf_dir):
+    from ocr_spark.operators.textstats import with_winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_winnow_fingerprints(docs).select("doc_id", "winnow")
+
+
+#: winnowing (MOSS) fingerprint sets re-derived in DuckDB: same k=8 grams,
+#: w=4 window minima, same md5-prefix 32-bit hash (hex-cast trick); list
+#: slicing is 1-based inclusive so hs[j:j+3] is the 4-hash window
+_WINNOW_SQL = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= 8 THEN
+           list_transform(generate_series(1, length(t) - 7),
+             i -> ('0x' || substring(md5(substring(t, i, 8)), 1, 8))::BIGINT)
+         ELSE [] END AS hs
+  FROM n
+)
+SELECT doc_id,
+       CASE WHEN len(hs) >= 4 THEN
+         list_sort(list_distinct(list_transform(
+           generate_series(1, len(hs) - 3),
+           j -> list_min(hs[j:j+3]))))
+       ELSE [] END AS winnow
+FROM h
+"""
+
+
 #: deterministic PII seeding for the redaction gate: the synthetic corpus
 #: contains no emails/IPs/numbers, so the query plants one of each per row
 #: (derived from doc_id, identically in Spark and DuckDB) — the oracle then
@@ -2164,6 +2197,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_type_pivot": _a11_type_pivot,
         "t8_gap_sessions": _t8_gap_sessions,
         "fingerprints": _fingerprints,
+        "winnow_fingerprints": _winnow_fingerprints,
     }
 
 
@@ -2180,6 +2214,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "a11_type_pivot": _A11_SQL,
         "t8_gap_sessions": _T8_GAP_SQL,
         "fingerprints": _FINGERPRINT_SQL,
+        "winnow_fingerprints": _WINNOW_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

@@ -165,6 +165,69 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("_nc", "_na", "_np", "_nt", "_ns")
 
 
+#: winnowing defaults: 8-char grams, 4-hash windows — any shared substring
+#: of ≥ k+w-1 = 11 normalized chars is guaranteed to produce a shared
+#: fingerprint (the winnowing detection guarantee)
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    out_col: str = "winnow",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    the MOSS scheme): normalize → hash every k-char gram (rolling k-gram
+    set) → keep the minimum of each w-hash window → distinct sorted set.
+    Unlike :func:`with_fingerprint`'s whole-document hash, shared SUBSTRINGS
+    of ≥ k+w-1 chars guarantee shared fingerprints, so overlap of the sets
+    localizes partial copies, not just identical documents.
+
+    Pure JVM higher-order functions, narrow, no shuffle; each stage
+    (normalized text, gram hashes, window minima) sits in its own
+    projection — no cross-expression CSE for these, so inlining would
+    re-hash every gram per derived column. Gram hashes reuse the repo's
+    md5 bucket primitive at modulus 2³² (identity on the 8-hex value), so
+    the DuckDB oracle mirrors them with the standard hex-cast trick.
+    Documents with fewer than k+w-1 normalized chars yield an empty set."""
+    from ocr_spark.functions.hashing import md5_mod
+
+    if k <= 0 or w <= 0:
+        raise ValueError(f"k and w must be positive, got k={k}, w={w}")
+    empty = F.array().cast("array<long>")
+    staged = df.withColumn(
+        "_wn_t", F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    )
+    n_grams = F.length("_wn_t") - k + 1
+    staged = staged.withColumn(
+        "_wn_h",
+        F.when(
+            F.length("_wn_t") >= k,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: md5_mod(F.col("_wn_t").substr(i, F.lit(k)), 1 << 32),
+            ),
+        ).otherwise(empty),
+    ).drop("_wn_t")
+    n_windows = F.size("_wn_h") - w + 1
+    winnowed = F.when(
+        F.size("_wn_h") >= w,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda j: F.array_min(F.slice("_wn_h", j, w)),
+                )
+            )
+        ),
+    ).otherwise(empty)
+    return staged.withColumn(out_col, winnowed).drop("_wn_h")
+
+
 def source_stats(
     df: DataFrame, text_col: str = "text", source_col: str = "source"
 ) -> DataFrame:

@@ -169,3 +169,75 @@ def test_source_stats_dup_rate_and_quality(spark):
     assert (b["n_docs"], b["n_unique"], b["dup_rate"]) == (2, 2, 0.0)
     for r in (a, b):
         assert 0 <= r["min_quality"] <= r["avg_quality"] <= r["max_quality"] <= 100
+
+
+def test_winnow_matches_local_reference(spark):
+    """Bit-equality with a direct Python transcription of the SIGMOD'03
+    winnowing scheme, including the short-document edges."""
+    import hashlib
+    import re as _re
+
+    from ocr_spark.operators.textstats import with_winnow_fingerprints
+
+    def pyref(text, k=8, w=4):
+        t = _re.sub("[^a-z0-9]", "", text.lower())
+        if len(t) < k:
+            return []
+        hs = [
+            int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        if len(hs) < w:
+            return []
+        return sorted({min(hs[j : j + w]) for j in range(len(hs) - w + 1)})
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog!",
+        "short",
+        "",
+        "aaaaaaaaaaaaaaaa",  # degenerate: every gram identical
+        "abcdefghij",  # 3 grams < w windows -> empty
+        "punct-only ...!!! 123 mixed",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r["winnow"]
+        for r in with_winnow_fingerprints(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert rows[i] == pyref(t), (i, t)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The winnowing guarantee: a shared normalized substring of length
+    >= k+w-1 produces at least one shared fingerprint — and a full-prefix
+    copy keeps the whole prefix's set."""
+    from ocr_spark.operators.textstats import with_winnow_fingerprints
+
+    base = "The quick brown fox jumps over the lazy dog!"
+    df = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " plus an appended unrelated continuation text"),
+            (2, "completely different content with zero gram overlap"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: set(r["winnow"])
+        for r in with_winnow_fingerprints(df).collect()
+    }
+    assert rows[0] <= rows[1]  # prefix copy: every window of doc0 survives
+    assert not (rows[0] & rows[2])
+
+
+def test_winnow_is_narrow_and_validates(spark):
+    from ocr_spark.operators.textstats import with_winnow_fingerprints
+
+    df = spark.createDataFrame([(0, "x" * 40)], ["doc_id", "text"])
+    plan = with_winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    with pytest.raises(ValueError):
+        with_winnow_fingerprints(df, w=0)
