@@ -284,14 +284,16 @@ def _doc_words(spark, sf_dir):
     """Distinct (doc_id, word) pairs — the A7 unknown-word analog over the
     generic documents table (every word is 'unknown' to an empty kamus)."""
     docs = _t(spark, sf_dir, "documents")
+    # explode_outer + null drop: inner explode's inferred size>0 filter
+    # re-evaluates the fused regexp token array per output row
     return docs.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.array_distinct(
                 F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)")
             )
         ).alias("word"),
-    )
+    ).filter(F.col("word").isNotNull())
 
 
 _DOC_WORDS_SQL = f"""
@@ -331,7 +333,8 @@ def _a8_top_pending(spark, sf_dir):
     )
     return (
         docs.filter(F.size(toks) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        .select(F.explode_outer(bigrams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("frequency"))
         .filter(F.col("frequency") < 5)
@@ -1716,6 +1719,27 @@ FROM h
 """
 
 
+def _winnow_near_dup(spark, sf_dir):
+    from ocr_spark.operators.dedup import winnow_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_near_duplicates(docs, threshold=0.1)
+
+
+_WINNOW_NEAR_DUP_SQL = f"""
+WITH w AS ({_WINNOW_SQL}),
+ex AS (SELECT doc_id, unnest(winnow) AS s FROM w),
+sizes AS (SELECT doc_id, CAST(len(winnow) AS BIGINT) AS n FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)), 6) AS jaccard
+FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+JOIN sizes sa ON sa.doc_id = a.doc_id
+JOIN sizes sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+HAVING ROUND(CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)), 6) >= 0.1
+"""
+
+
 #: deterministic PII seeding for the redaction gate: the synthetic corpus
 #: contains no emails/IPs/numbers, so the query plants one of each per row
 #: (derived from doc_id, identically in Spark and DuckDB) — the oracle then
@@ -2198,6 +2222,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_gap_sessions": _t8_gap_sessions,
         "fingerprints": _fingerprints,
         "winnow_fingerprints": _winnow_fingerprints,
+        "winnow_near_dup": _winnow_near_dup,
     }
 
 
@@ -2215,6 +2240,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "t8_gap_sessions": _T8_GAP_SQL,
         "fingerprints": _FINGERPRINT_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
+        "winnow_near_dup": _WINNOW_NEAR_DUP_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

@@ -74,7 +74,13 @@ def curate_corpus(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
 
-    bench_sh = benchmark.select(F.explode(sh_ids).alias("shingle")).distinct()
+    # explode_outer + null drop: inner explode's inferred size>0 filter
+    # re-evaluates the fused shingle expression per output row
+    bench_sh = (
+        benchmark.select(F.explode_outer(sh_ids).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
     contaminated = (
         ex.join(F.broadcast(bench_sh), "shingle", "left_semi")
         .select("id")

@@ -127,9 +127,17 @@ def posting_pairs(
                 ),
             )
         )
+        # explode_outer, not explode: inner explode makes Catalyst infer a
+        # size(pair_expr) > 0 filter under the Generate, and fused with the
+        # (non-codegen) pair expression that re-evaluates the whole flat
+        # pair array redundantly (same hazard as the winnow explosion —
+        # measured there at 200x; here the array is the full n² pair set).
+        # The null row an empty array would produce is pre-excluded by the
+        # size >= 2 filter; the isNotNull is belt-and-braces.
         return (
             posting.filter(F.size(docs_col) >= 2)
-            .select(F.explode(pair_expr).alias("_p"))
+            .select(F.explode_outer(pair_expr).alias("_p"))
+            .filter(F.col("_p").isNotNull())
             .select("_p.*")
         )
     exploded = posting.filter(F.size(docs_col) >= 2).select(
@@ -138,10 +146,10 @@ def posting_pairs(
     )
     tails = exploded.select(
         "_a",
-        F.explode(
+        F.explode_outer(
             F.slice(F.col("_docs"), F.col("_i") + 2, F.size("_docs"))
         ).alias("_b"),
-    )
+    ).filter(F.col("_b").isNotNull())
     return tails.select(*builder(F.col("_a"), F.col("_b")))
 
 
@@ -266,9 +274,15 @@ def lsh_candidate_pairs(
     standard LSH stop-bucket guard. Pairs relying only on an over-cap
     bucket are lost (documented recall trade-off); a bucket that big means
     the docs are near-identical and will still collide in other bands."""
+    # posexplode_outer + null drop: inner posexplode's inferred size>0
+    # filter re-evaluates the fused band-digest array (one md5 per band)
+    # per output row
     bands = signatures.select(
-        "id", F.posexplode(band_buckets("signature", n_bands)).alias("band", "bucket")
-    )
+        "id",
+        F.posexplode_outer(band_buckets("signature", n_bands)).alias(
+            "band", "bucket"
+        ),
+    ).filter(F.col("bucket").isNotNull())
     posting = bands.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("id")).alias("docs")
     )
@@ -308,8 +322,10 @@ def minhash_near_duplicates(
     bands = sigs.select(
         "id",
         "signature",
-        F.posexplode(band_buckets("signature", n_bands)).alias("band", "bucket"),
-    )
+        F.posexplode_outer(band_buckets("signature", n_bands)).alias(
+            "band", "bucket"
+        ),
+    ).filter(F.col("bucket").isNotNull())
     posting = bands.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list(F.struct("id", "signature"))).alias("docs")
     )
@@ -387,7 +403,14 @@ def jaccard_near_duplicates(
     similarity over the filtered universe."""
     sized = df.select(
         F.col(id_col).alias("id"), shingle_ids(text_col, k).alias("sh")
-    ).select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    ).select(
+        # explode_outer + null drop, not explode: the inferred size>0
+        # filter of inner explode re-evaluates the fused shingle-id array
+        # per output row (measured 2.6x slower at sf0.1)
+        "id",
+        F.size("sh").alias("n_sh"),
+        F.explode_outer("sh").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
     return jaccard_pairs_from_exploded(sized, threshold, max_doc_freq)
 
 
@@ -455,6 +478,53 @@ def jaccard_pairs_from_exploded(
     )
 
 
+def winnow_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int | None = None,
+    w: int | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over winnowing fingerprint sets
+    (textstats.with_winnow_fingerprints — the MOSS scheme): documents
+    sharing any ≥ k+w-1-char normalized substring share fingerprints, so
+    this catches partial/char-level copies the word-shingle family dilutes.
+
+    Scale shape: identical posting-list core and hot-key cap as
+    :func:`jaccard_near_duplicates`, but the winnowing window subsamples
+    the gram stream ~w× (only window minima survive), so the posting
+    explosion shuffles ~1/w the rows of char-gram shingling for the same
+    substring detection guarantee. Returns (id_a, id_b, jaccard) over the
+    fingerprint sets."""
+    from ocr_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        with_winnow_fingerprints,
+    )
+
+    fps = with_winnow_fingerprints(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        text_col,
+        k if k is not None else WINNOW_K,
+        w if w is not None else WINNOW_W,
+    )
+    # explode_outer + null filter, NOT plain explode: inner explode makes
+    # Catalyst infer a `size(winnow) > 0` filter under the Generate, and
+    # with a CodegenFallback producer (higher-order winnow expression)
+    # fused into the same codegen stage that filter degrades evaluation to
+    # once per OUTPUT row — measured 200x slower (100.7 s vs 0.5 s for 50
+    # docs). explode_outer skips the inferred filter; the null row an
+    # empty set produces is dropped on the output column instead.
+    sized = fps.select(
+        "id",
+        F.size("winnow").alias("n_sh"),
+        F.explode_outer("winnow").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    return jaccard_pairs_from_exploded(sized, threshold, max_doc_freq)
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,
@@ -477,10 +547,18 @@ def decontaminate(
     ~2⁻⁴⁰ collision rate the SQL oracle reproduces bit-for-bit.
     """
     sh_ids = shingle_ids(text_col, k)
-    bench_sh = benchmark.select(F.explode(sh_ids).alias("shingle")).distinct()
-    doc_sh = df.select(
-        F.col(id_col).alias("id"), F.explode(sh_ids).alias("shingle")
+    # explode_outer + null drop (not inner explode) on both sides: the
+    # inferred size>0 filter re-evaluates the fused shingle expression per
+    # output row (the winnow/jaccard explosion hazard); the corpus side is
+    # the decontamination hot path
+    bench_sh = (
+        benchmark.select(F.explode_outer(sh_ids).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
     )
+    doc_sh = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(sh_ids).alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
     overlaps = (
         doc_sh.join(F.broadcast(bench_sh), "shingle", "inner")
         .groupBy("id")

@@ -645,12 +645,15 @@ def embedding_near_duplicates(
             for t in range(n_tables)
         ]
     )
+    # explode_outer + null drop: inner explode's inferred size>0 filter
+    # re-evaluates the fused bucket array (n_tables × n_planes dot
+    # products per row) per output row
     bucketed = df.select(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("vd"),
         norm(_as_double(vec_col)).alias("n"),
-        F.explode(buckets).alias("bucket"),
-    )
+        F.explode_outer(buckets).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
     if max_bucket_size is not None:
         from pyspark.sql import Window
 

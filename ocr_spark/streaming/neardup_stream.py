@@ -89,11 +89,15 @@ def _banded(
     """(id, signature, band, bucket) rows — the store's unit of state,
     identical arithmetic to the batch operator's posting source."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    # posexplode_outer + null drop — same inferred-filter re-evaluation
+    # hazard as the batch operator (see dedup.lsh_candidate_pairs)
     return sigs.select(
         "id",
         "signature",
-        F.posexplode(band_buckets("signature", n_bands)).alias("band", "bucket"),
-    )
+        F.posexplode_outer(band_buckets("signature", n_bands)).alias(
+            "band", "bucket"
+        ),
+    ).filter(F.col("bucket").isNotNull())
 
 
 def _sig_sim(a, b):

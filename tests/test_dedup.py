@@ -462,3 +462,49 @@ def test_minhash_family_positions_are_independent_permutations():
     # determinism and a ∈ [1, p-1]
     assert coeffs == minhash_coefficients(16)
     assert all(1 <= a < MINHASH_P and 0 <= b < MINHASH_P for a, b in coeffs)
+
+
+def test_winnow_near_dup_catches_partial_copy(spark):
+    """Char-level partial copies (shared >= k+w-1-char substring runs)
+    pair under winnow Jaccard even when word-shingle Jaccard is diluted;
+    disjoint docs never pair."""
+    from ocr_spark.operators.dedup import winnow_near_duplicates
+
+    stolen = "entire paragraphs of this document were copied verbatim into another one"
+    df = spark.createDataFrame(
+        [
+            (0, stolen + " with original framing around it"),
+            (1, "different opening text then " + stolen + " and a new ending"),
+            (2, "wholly unrelated content sharing no substrings of note at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in winnow_near_duplicates(df, threshold=0.1).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.3
+    assert not any(2 in p for p in pairs)
+
+
+def test_winnow_near_dup_explodes_outer(spark):
+    """The explosion must be explode_outer: inner explode makes Catalyst
+    infer a size>0 filter under the Generate, which (fused with the
+    CodegenFallback winnow expression) re-evaluates the whole fingerprint
+    array once per OUTPUT row — measured 200x slower. Pin the shape."""
+    from ocr_spark.operators.dedup import winnow_near_duplicates
+
+    df = spark.createDataFrame([(0, "abcdefghijklmnop")], ["doc_id", "text"])
+    plan = (
+        winnow_near_duplicates(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Generate prints as `Generate explode(winnow#N), [...], <outer>, [...]`
+    # — the third field must be true (outer) for the winnow explosion
+    winnow_gen = [
+        ln for ln in plan.splitlines() if "Generate explode(winnow" in ln
+    ]
+    assert len(winnow_gen) == 1
+    assert ", true, " in winnow_gen[0]
