@@ -1719,17 +1719,27 @@ FROM h
 """
 
 
+#: hot-fingerprint cap for the winnow gate query — same universe-cap
+#: semantics as _JACCARD_CAP (fps over the doc-frequency cap leave the
+#: universe on BOTH engines, so equality holds at any SF); inert at
+#: sf≤0.01 (≤500 docs), active at sf0.1+ where boilerplate fingerprints
+#: go hot
+_WINNOW_CAP = 1000
+
+
 def _winnow_near_dup(spark, sf_dir):
     from ocr_spark.operators.dedup import winnow_near_duplicates
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return winnow_near_duplicates(docs, threshold=0.1)
+    return winnow_near_duplicates(docs, threshold=0.1, max_doc_freq=_WINNOW_CAP)
 
 
 _WINNOW_NEAR_DUP_SQL = f"""
 WITH w AS ({_WINNOW_SQL}),
-ex AS (SELECT doc_id, unnest(winnow) AS s FROM w),
-sizes AS (SELECT doc_id, CAST(len(winnow) AS BIGINT) AS n FROM w)
+ex0 AS (SELECT doc_id, unnest(winnow) AS s FROM w),
+ex AS (SELECT * FROM ex0
+       WHERE s IN (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {_WINNOW_CAP})),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ROUND(CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)), 6) AS jaccard
 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
