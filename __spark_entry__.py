@@ -283,17 +283,17 @@ FROM events GROUP BY ROLLUP(event_type)
 def _doc_words(spark, sf_dir):
     """Distinct (doc_id, word) pairs — the A7 unknown-word analog over the
     generic documents table (every word is 'unknown' to an empty kamus)."""
+    from ocr_spark.functions.explode import explode_nonnull
+
     docs = _t(spark, sf_dir, "documents")
-    # explode_outer + null drop: inner explode's inferred size>0 filter
-    # re-evaluates the fused regexp token array per output row
-    return docs.select(
+    return explode_nonnull(
+        docs,
+        F.array_distinct(
+            F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)")
+        ),
+        "word",
         "doc_id",
-        F.explode_outer(
-            F.array_distinct(
-                F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)")
-            )
-        ).alias("word"),
-    ).filter(F.col("word").isNotNull())
+    )
 
 
 _DOC_WORDS_SQL = f"""
@@ -331,10 +331,10 @@ def _a8_top_pending(spark, sf_dir):
             lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
         )
     )
+    from ocr_spark.functions.explode import explode_nonnull
+
     return (
-        docs.filter(F.size(toks) >= 2)
-        .select(F.explode_outer(bigrams).alias("bigram"))
-        .filter(F.col("bigram").isNotNull())
+        explode_nonnull(docs.filter(F.size(toks) >= 2), bigrams, "bigram")
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("frequency"))
         .filter(F.col("frequency") < 5)

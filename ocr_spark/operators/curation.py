@@ -74,13 +74,9 @@ def curate_corpus(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
 
-    # explode_outer + null drop: inner explode's inferred size>0 filter
-    # re-evaluates the fused shingle expression per output row
-    bench_sh = (
-        benchmark.select(F.explode_outer(sh_ids).alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
-    )
+    from ocr_spark.functions.explode import explode_nonnull
+
+    bench_sh = explode_nonnull(benchmark, sh_ids, "shingle").distinct()
     contaminated = (
         ex.join(F.broadcast(bench_sh), "shingle", "left_semi")
         .select("id")

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+from ocr_spark.functions.explode import explode_nonnull, posexplode_nonnull
 from ocr_spark.operators.textstats import WORD_RE, tokens
 
 # ---------------------------------------------------------------------------
@@ -127,29 +128,22 @@ def posting_pairs(
                 ),
             )
         )
-        # explode_outer, not explode: inner explode makes Catalyst infer a
-        # size(pair_expr) > 0 filter under the Generate, and fused with the
-        # (non-codegen) pair expression that re-evaluates the whole flat
-        # pair array redundantly (same hazard as the winnow explosion —
-        # measured there at 200x; here the array is the full n² pair set).
-        # The null row an empty array would produce is pre-excluded by the
-        # size >= 2 filter; the isNotNull is belt-and-braces.
-        return (
-            posting.filter(F.size(docs_col) >= 2)
-            .select(F.explode_outer(pair_expr).alias("_p"))
-            .filter(F.col("_p").isNotNull())
-            .select("_p.*")
-        )
+        # explode_nonnull (never inner explode — the array here is the
+        # full n² pair set; see functions/explode.py for the measured
+        # per-output-row re-evaluation hazard)
+        return explode_nonnull(
+            posting.filter(F.size(docs_col) >= 2), pair_expr, "_p"
+        ).select("_p.*")
     exploded = posting.filter(F.size(docs_col) >= 2).select(
         F.col(docs_col).alias("_docs"),
         F.posexplode(docs_col).alias("_i", "_a"),
     )
-    tails = exploded.select(
+    tails = explode_nonnull(
+        exploded,
+        F.slice(F.col("_docs"), F.col("_i") + 2, F.size("_docs")),
+        "_b",
         "_a",
-        F.explode_outer(
-            F.slice(F.col("_docs"), F.col("_i") + 2, F.size("_docs"))
-        ).alias("_b"),
-    ).filter(F.col("_b").isNotNull())
+    )
     return tails.select(*builder(F.col("_a"), F.col("_b")))
 
 
@@ -274,15 +268,9 @@ def lsh_candidate_pairs(
     standard LSH stop-bucket guard. Pairs relying only on an over-cap
     bucket are lost (documented recall trade-off); a bucket that big means
     the docs are near-identical and will still collide in other bands."""
-    # posexplode_outer + null drop: inner posexplode's inferred size>0
-    # filter re-evaluates the fused band-digest array (one md5 per band)
-    # per output row
-    bands = signatures.select(
-        "id",
-        F.posexplode_outer(band_buckets("signature", n_bands)).alias(
-            "band", "bucket"
-        ),
-    ).filter(F.col("bucket").isNotNull())
+    bands = posexplode_nonnull(
+        signatures, band_buckets("signature", n_bands), "band", "bucket", "id"
+    )
     posting = bands.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("id")).alias("docs")
     )
@@ -319,13 +307,14 @@ def minhash_near_duplicates(
     by the final distinct — cheaper than two shuffle joins as long as
     signatures are short (they are: n_hashes longs)."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, k)
-    bands = sigs.select(
+    bands = posexplode_nonnull(
+        sigs,
+        band_buckets("signature", n_bands),
+        "band",
+        "bucket",
         "id",
         "signature",
-        F.posexplode_outer(band_buckets("signature", n_bands)).alias(
-            "band", "bucket"
-        ),
-    ).filter(F.col("bucket").isNotNull())
+    )
     posting = bands.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list(F.struct("id", "signature"))).alias("docs")
     )
@@ -403,14 +392,10 @@ def jaccard_near_duplicates(
     similarity over the filtered universe."""
     sized = df.select(
         F.col(id_col).alias("id"), shingle_ids(text_col, k).alias("sh")
-    ).select(
-        # explode_outer + null drop, not explode: the inferred size>0
-        # filter of inner explode re-evaluates the fused shingle-id array
-        # per output row (measured 2.6x slower at sf0.1)
-        "id",
-        F.size("sh").alias("n_sh"),
-        F.explode_outer("sh").alias("shingle"),
-    ).filter(F.col("shingle").isNotNull())
+    )
+    sized = explode_nonnull(
+        sized, "sh", "shingle", "id", F.size("sh").alias("n_sh")
+    )
     return jaccard_pairs_from_exploded(sized, threshold, max_doc_freq)
 
 
@@ -510,18 +495,12 @@ def winnow_near_duplicates(
         k if k is not None else WINNOW_K,
         w if w is not None else WINNOW_W,
     )
-    # explode_outer + null filter, NOT plain explode: inner explode makes
-    # Catalyst infer a `size(winnow) > 0` filter under the Generate, and
-    # with a CodegenFallback producer (higher-order winnow expression)
-    # fused into the same codegen stage that filter degrades evaluation to
-    # once per OUTPUT row — measured 200x slower (100.7 s vs 0.5 s for 50
-    # docs). explode_outer skips the inferred filter; the null row an
-    # empty set produces is dropped on the output column instead.
-    sized = fps.select(
-        "id",
-        F.size("winnow").alias("n_sh"),
-        F.explode_outer("winnow").alias("shingle"),
-    ).filter(F.col("shingle").isNotNull())
+    # explode_nonnull, NOT plain explode — this is the site where the
+    # per-output-row re-evaluation hazard was measured at 200x (100.7 s
+    # vs 0.5 s for 50 docs); see functions/explode.py
+    sized = explode_nonnull(
+        fps, "winnow", "shingle", "id", F.size("winnow").alias("n_sh")
+    )
     return jaccard_pairs_from_exploded(sized, threshold, max_doc_freq)
 
 
@@ -547,18 +526,10 @@ def decontaminate(
     ~2⁻⁴⁰ collision rate the SQL oracle reproduces bit-for-bit.
     """
     sh_ids = shingle_ids(text_col, k)
-    # explode_outer + null drop (not inner explode) on both sides: the
-    # inferred size>0 filter re-evaluates the fused shingle expression per
-    # output row (the winnow/jaccard explosion hazard); the corpus side is
-    # the decontamination hot path
-    bench_sh = (
-        benchmark.select(F.explode_outer(sh_ids).alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
+    bench_sh = explode_nonnull(benchmark, sh_ids, "shingle").distinct()
+    doc_sh = explode_nonnull(
+        df, sh_ids, "shingle", F.col(id_col).alias("id")
     )
-    doc_sh = df.select(
-        F.col(id_col).alias("id"), F.explode_outer(sh_ids).alias("shingle")
-    ).filter(F.col("shingle").isNotNull())
     overlaps = (
         doc_sh.join(F.broadcast(bench_sh), "shingle", "inner")
         .groupBy("id")

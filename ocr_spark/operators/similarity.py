@@ -645,15 +645,18 @@ def embedding_near_duplicates(
             for t in range(n_tables)
         ]
     )
-    # explode_outer + null drop: inner explode's inferred size>0 filter
-    # re-evaluates the fused bucket array (n_tables × n_planes dot
-    # products per row) per output row
-    bucketed = df.select(
+    from ocr_spark.functions.explode import explode_nonnull
+
+    # the bucket array is n_tables × n_planes dot products per row —
+    # explode_nonnull only (see functions/explode.py)
+    bucketed = explode_nonnull(
+        df,
+        buckets,
+        "bucket",
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("vd"),
         norm(_as_double(vec_col)).alias("n"),
-        F.explode_outer(buckets).alias("bucket"),
-    ).filter(F.col("bucket").isNotNull())
+    )
     if max_bucket_size is not None:
         from pyspark.sql import Window
 

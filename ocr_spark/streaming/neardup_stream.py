@@ -89,15 +89,12 @@ def _banded(
     """(id, signature, band, bucket) rows — the store's unit of state,
     identical arithmetic to the batch operator's posting source."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, k)
-    # posexplode_outer + null drop — same inferred-filter re-evaluation
-    # hazard as the batch operator (see dedup.lsh_candidate_pairs)
-    return sigs.select(
-        "id",
-        "signature",
-        F.posexplode_outer(band_buckets("signature", n_bands)).alias(
-            "band", "bucket"
-        ),
-    ).filter(F.col("bucket").isNotNull())
+    from ocr_spark.functions.explode import posexplode_nonnull
+
+    return posexplode_nonnull(
+        sigs, band_buckets("signature", n_bands), "band", "bucket",
+        "id", "signature",
+    )
 
 
 def _sig_sim(a, b):
