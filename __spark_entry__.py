@@ -1734,6 +1734,18 @@ def _winnow_near_dup(spark, sf_dir):
     return winnow_near_duplicates(docs, threshold=0.1, max_doc_freq=_WINNOW_CAP)
 
 
+def _winnow_containment(spark, sf_dir):
+    """Asymmetric partial-dup pairs: |∩|/min(|a|,|b|) over the capped
+    winnow universe — a small doc embedded in a big one scores ~1 here
+    while Jaccard dilutes it by the size gap (Broder containment)."""
+    from ocr_spark.operators.dedup import winnow_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_near_duplicates(
+        docs, threshold=0.5, max_doc_freq=_WINNOW_CAP, metric="containment"
+    )
+
+
 _WINNOW_NEAR_DUP_SQL = f"""
 WITH w AS ({_WINNOW_SQL}),
 ex0 AS (SELECT doc_id, unnest(winnow) AS s FROM w),
@@ -1747,6 +1759,22 @@ JOIN sizes sa ON sa.doc_id = a.doc_id
 JOIN sizes sb ON sb.doc_id = b.doc_id
 GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
 HAVING ROUND(CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)), 6) >= 0.1
+"""
+
+
+_WINNOW_CONTAINMENT_SQL = f"""
+WITH w AS ({_WINNOW_SQL}),
+ex0 AS (SELECT doc_id, unnest(winnow) AS s FROM w),
+ex AS (SELECT * FROM ex0
+       WHERE s IN (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {_WINNOW_CAP})),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(count(*) AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+JOIN sizes sa ON sa.doc_id = a.doc_id
+JOIN sizes sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+HAVING ROUND(CAST(count(*) AS DOUBLE) / LEAST(sa.n, sb.n), 6) >= 0.5
 """
 
 
@@ -2233,6 +2261,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _fingerprints,
         "winnow_fingerprints": _winnow_fingerprints,
         "winnow_near_dup": _winnow_near_dup,
+        "winnow_containment": _winnow_containment,
     }
 
 
@@ -2251,6 +2280,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "fingerprints": _FINGERPRINT_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
         "winnow_near_dup": _WINNOW_NEAR_DUP_SQL,
+        "winnow_containment": _WINNOW_CONTAINMENT_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

@@ -403,11 +403,22 @@ def jaccard_pairs_from_exploded(
     sized: DataFrame,
     threshold: float,
     max_doc_freq: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """The posting-list Jaccard core over a pre-built exploded frame
-    (id, n_sh, shingle) — callers that already materialized the shingle
-    explosion (the curation pipeline shares it with decontamination) skip
-    recomputing the tokenize+hash pass. Returns (id_a, id_b, jaccard)."""
+    """The posting-list set-similarity core over a pre-built exploded
+    frame (id, n_sh, shingle) — callers that already materialized the
+    shingle explosion (the curation pipeline shares it with
+    decontamination) skip recomputing the tokenize+hash pass.
+
+    ``metric='jaccard'`` scores |∩|/|∪| (symmetric resemblance);
+    ``metric='containment'`` scores |∩|/min(|a|,|b|) — the asymmetric
+    measure that catches a small document wholly embedded in a larger one,
+    which Jaccard dilutes by the size gap (Broder's containment, the
+    partial-dup test web-corpus pipelines run beside resemblance). Same
+    pair generation, same hot-key cap semantics, only the final expression
+    differs. Returns (id_a, id_b, <metric>)."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     posting = sized.groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.struct("id", "n_sh"))).alias("docs")
     )
@@ -455,11 +466,16 @@ def jaccard_pairs_from_exploded(
                 "n_common",
             )
         )
-    jac = F.round(
-        F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
-    )
-    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+    if metric == "containment":
+        score = F.round(F.col("n_common") / F.least("na", "nb"), 6)
+    else:
+        score = F.round(
+            F.col("n_common")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+            6,
+        )
+    return inter.select("id_a", "id_b", score.alias(metric)).filter(
+        F.col(metric) >= threshold
     )
 
 
@@ -471,6 +487,7 @@ def winnow_near_duplicates(
     k: int | None = None,
     w: int | None = None,
     max_doc_freq: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over winnowing fingerprint sets
     (textstats.with_winnow_fingerprints — the MOSS scheme): documents
@@ -501,7 +518,7 @@ def winnow_near_duplicates(
     sized = explode_nonnull(
         fps, "winnow", "shingle", "id", F.size("winnow").alias("n_sh")
     )
-    return jaccard_pairs_from_exploded(sized, threshold, max_doc_freq)
+    return jaccard_pairs_from_exploded(sized, threshold, max_doc_freq, metric)
 
 
 def decontaminate(

@@ -508,3 +508,31 @@ def test_winnow_near_dup_explodes_outer(spark):
     ]
     assert len(winnow_gen) == 1
     assert ", true, " in winnow_gen[0]
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a much larger one: containment ~1
+    while Jaccard is diluted by the size gap — the asymmetric partial-dup
+    test (Broder containment) web-corpus pipelines run beside resemblance."""
+    from ocr_spark.operators.dedup import winnow_near_duplicates
+
+    small = "this exact short passage appears verbatim inside the larger document"
+    filler = " ".join(f"unrelated filler sentence number {chr(97 + i)} with more words" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, small), (1, filler + " " + small + " " + filler[::-1])],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in winnow_near_duplicates(
+            df, threshold=0.5, metric="containment"
+        ).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in winnow_near_duplicates(df, threshold=0.0).collect()
+    }
+    assert cont[(0, 1)] > 0.8  # nearly all of doc0's windows survive in doc1
+    assert jac[(0, 1)] < 0.3  # resemblance is diluted by the size gap
+    with pytest.raises(ValueError):
+        winnow_near_duplicates(df, metric="dice")
