@@ -99,16 +99,22 @@ def main() -> int:
     # any real corpus exercise them).
     from pyspark.sql import functions as F
 
+    from ocr_spark.functions.explode import explode_nonnull
     from ocr_spark.operators.dedup import (
         band_buckets,
         minhash_signatures,
-        shingle_ids,
+        shingle_ids_from_tokens,
     )
+    from ocr_spark.operators.textstats import tokens
 
     cap = entrymod._JACCARD_CAP
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     dropped_shingles = (
-        docs.select(F.explode(shingle_ids("text", 3)).alias("s"))
+        explode_nonnull(
+            docs.select(tokens("text").alias("_toks")),
+            shingle_ids_from_tokens(F.col("_toks"), 3),
+            "s",
+        )
         .groupBy("s")
         .count()
         .filter(F.col("count") > cap)

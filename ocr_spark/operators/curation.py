@@ -27,10 +27,10 @@ from pyspark.sql import functions as F
 from ocr_spark.operators.dedup import (
     connected_components,
     jaccard_pairs_from_exploded,
-    shingle_ids,
+    shingle_ids_from_tokens,
     stratified_sample,
 )
-from ocr_spark.operators.textstats import with_lang_id, with_quality
+from ocr_spark.operators.textstats import tokens, with_lang_id, with_quality
 
 
 def curate_corpus(
@@ -51,20 +51,32 @@ def curate_corpus(
     quality_score): quality ≥ ``min_quality``, language ≠ ``drop_lang``,
     zero benchmark shingle overlap, one doc (min id) per near-dup cluster,
     sampled per-stratum."""
-    sh_ids = shingle_ids(text_col, k)
     scored = with_lang_id(with_quality(docs, text_col), text_col)
     # ONE materialization of the gate survivors (quality/lang scoring is
     # regex-heavy): every later consumer — the shingle explosion, the
     # anti-joins, the final projection — derives from this checkpoint, so
-    # the scoring pass never re-executes
-    kept = scored.filter(
-        (F.col("quality_score") >= min_quality) & (F.col("lang_pred") != drop_lang)
-    ).select(
-        F.col(id_col).alias("id"),
-        F.col(strata_col).alias("stratum"),
-        "lang_pred",
-        "quality_score",
-        sh_ids.alias("sh"),
+    # the scoring pass never re-executes. The token array is staged in its
+    # own projection first — the shingle expression references it 4× and
+    # interpreted HOF trees re-run every reference (dedup.shingles_from_tokens)
+    kept = (
+        scored.filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("lang_pred") != drop_lang)
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(strata_col).alias("stratum"),
+            "lang_pred",
+            "quality_score",
+            tokens(text_col).alias("_toks"),
+        )
+        .select(
+            "id",
+            "stratum",
+            "lang_pred",
+            "quality_score",
+            shingle_ids_from_tokens(F.col("_toks"), k).alias("sh"),
+        )
     )
     from ocr_spark.operators.dedup import _checkpointer
 
@@ -76,7 +88,11 @@ def curate_corpus(
 
     from ocr_spark.functions.explode import explode_nonnull
 
-    bench_sh = explode_nonnull(benchmark, sh_ids, "shingle").distinct()
+    bench_sh = explode_nonnull(
+        benchmark.select(tokens(text_col).alias("_btoks")),
+        shingle_ids_from_tokens(F.col("_btoks"), k),
+        "shingle",
+    ).distinct()
     contaminated = (
         ex.join(F.broadcast(bench_sh), "shingle", "left_semi")
         .select("id")

@@ -64,15 +64,20 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
-def shingles(text_col: str = "text", k: int = 3) -> Column:
-    """Array of k-word shingles (space-joined token k-grams), distinct.
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined k-grams of a token-array
+    column), distinct — built entirely from array expressions: transform
+    over a 0..n-k index sequence slicing the token array; narrow,
+    codegen'd, no explode. Fewer than k tokens → the full token join (a
+    single shingle) so short docs still dedup.
 
-    Built entirely from array expressions: transform over a 0..n-k index
-    sequence slicing the token array — narrow, codegen'd, no explode.
-    Documents with fewer than k tokens contribute their full token join
-    (a single shingle) so short docs still dedup.
-    """
-    toks = tokens(text_col)
+    ``toks`` should be a STAGED column (its own projection), not an inline
+    ``tokens(...)`` call: this expression references it 4× and higher-
+    order-function trees get no codegen subexpression elimination, so an
+    inline tokenize runs 4× per row (measured 40% of minhash_near_dup's
+    sf0.1 wall time). The multi-reference also stops Catalyst's
+    CollapseProject from inlining the staged alias, which is what makes
+    the one-projection barrier stick."""
     n = F.size(toks)
     full = F.array(F.array_join(toks, " "))
     grams = F.transform(
@@ -82,15 +87,29 @@ def shingles(text_col: str = "text", k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(full))
 
 
-def shingle_ids(text_col: str = "text", k: int = 3) -> Column:
-    """Array of 60-bit shingle keys: the md5-prefix hash shared by the
-    Jaccard / decontamination / curation family (ONE definition — the
-    DuckDB oracles reproduce this exact arithmetic, so a width change here
-    must land everywhere at once, which is the point of the helper)."""
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Inline-tokenize form of :func:`shingles_from_tokens` — fine for
+    tests and one-off expressions; operators on the hot path must stage
+    the token array instead (see shingles_from_tokens)."""
+    return shingles_from_tokens(tokens(text_col), k)
+
+
+def shingle_ids_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Array of 60-bit shingle keys from a STAGED token-array column: the
+    md5-prefix hash shared by the Jaccard / decontamination / curation
+    family (ONE definition — the DuckDB oracles reproduce this exact
+    arithmetic, so a width change here must land everywhere at once,
+    which is the point of the helper)."""
     return F.transform(
-        shingles(text_col, k),
+        shingles_from_tokens(toks, k),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
+
+
+def shingle_ids(text_col: str = "text", k: int = 3) -> Column:
+    """Inline-tokenize form of :func:`shingle_ids_from_tokens` (same
+    staging caveat as :func:`shingles`)."""
+    return shingle_ids_from_tokens(tokens(text_col), k)
 
 
 #: postings up to this size emit their pair set as one flattened array
@@ -221,7 +240,14 @@ def minhash_signatures(
     Jaccard(a,b) ≈ fraction of equal positions.
     """
     coeffs = minhash_coefficients(n_hashes)
-    sh = shingles(text_col, k)
+    # stage the token array behind an eval barrier: the shingle expression
+    # references it 4× and interpreted HOF trees re-run each reference, so
+    # an inline tokenize costs 4 regexes per row (measured ~40% of the
+    # sf0.1 near-dup wall time before this staging)
+    df = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_mh_toks")
+    )
+    sh = shingles_from_tokens(F.col("_mh_toks"), k)
     per_shingle = F.transform(
         sh,
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
@@ -245,7 +271,7 @@ def minhash_signatures(
             lambda x, y: F.least(x, y),
         ),
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    return df.select("id", sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -391,7 +417,9 @@ def jaccard_near_duplicates(
     hot-membership counts, so capped Jaccard is still an exact set
     similarity over the filtered universe."""
     sized = df.select(
-        F.col(id_col).alias("id"), shingle_ids(text_col, k).alias("sh")
+        F.col(id_col).alias("id"), tokens(text_col).alias("_ja_toks")
+    ).select(
+        "id", shingle_ids_from_tokens(F.col("_ja_toks"), k).alias("sh")
     )
     sized = explode_nonnull(
         sized, "sh", "shingle", "id", F.size("sh").alias("n_sh")
@@ -542,10 +570,17 @@ def decontaminate(
     fixed-width longs broadcast and probe faster than shingle text, at the
     ~2⁻⁴⁰ collision rate the SQL oracle reproduces bit-for-bit.
     """
-    sh_ids = shingle_ids(text_col, k)
-    bench_sh = explode_nonnull(benchmark, sh_ids, "shingle").distinct()
+    sh_ids = shingle_ids_from_tokens(F.col("_de_toks"), k)
+    bench_sh = explode_nonnull(
+        benchmark.select(tokens(text_col).alias("_de_toks")), sh_ids, "shingle"
+    ).distinct()
     doc_sh = explode_nonnull(
-        df, sh_ids, "shingle", F.col(id_col).alias("id")
+        df.select(
+            F.col(id_col).alias("id"), tokens(text_col).alias("_de_toks")
+        ),
+        sh_ids,
+        "shingle",
+        "id",
     )
     overlaps = (
         doc_sh.join(F.broadcast(bench_sh), "shingle", "inner")
