@@ -2127,7 +2127,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_zero_filled": _a2_zero_filled,
         "a3_key_stats": _a3_key_stats,
         "a5_counts_by_type": _a5_counts_by_type,
-        "a12_distinct_users": _a12_distinct_users,
         "a4_learning_stats": _a4_learning_stats,
         "a7_word_frequency": _a7_word_frequency,
         "a8_top_pending": _a8_top_pending,
@@ -2151,6 +2150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "stratified_sample": _stratified_sample,
         "curate_corpus": _curate_corpus,
+        "winnow_near_dup": _winnow_near_dup,
+        "winnow_containment": _winnow_containment,
         # similarity search
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -2164,7 +2165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "lang_id_counts": _lang_id_counts,
         "doc_quality": _doc_quality,
-        "token_counts": _token_counts,
         "bpe_token_counts": _bpe_token_counts,
         "pii_redaction": _pii_redaction,
         "source_stats": _source_stats,
@@ -2194,7 +2194,6 @@ def oracle_sql() -> dict[str, str]:
         "a2_zero_filled": _A2Z_SQL,
         "a3_key_stats": _A3_SQL,
         "a5_counts_by_type": _A5_SQL,
-        "a12_distinct_users": _A12_SQL,
         "a4_learning_stats": _A4_SQL,
         "a7_word_frequency": _A7_SQL,
         "a8_top_pending": _A8_SQL,
@@ -2216,6 +2215,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "curate_corpus": _curate_sql(),
+        "winnow_near_dup": _WINNOW_NEAR_DUP_SQL,
+        "winnow_containment": _WINNOW_CONTAINMENT_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ivf_topk": _ivf_sql(),
@@ -2223,7 +2224,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _emb_near_dup_sql(),
         "lang_id_counts": _langid_sql(),
         "doc_quality": _quality_sql(),
-        "token_counts": _TOKEN_COUNTS_SQL,
         "pii_redaction": _pii_sql(),
         "source_stats": _source_stats_sql(),
         "training_shards": _SHARDS_SQL,
@@ -2242,7 +2242,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     subsume, the corpus anti-join over the same connected components, and
     queries subsumed by a gate entry that composes them (fingerprints ⊂
     source_stats; t8_gap_sessions is the CTE inside
-    range_join_error_sessions; a11's pivot is the a5 rollup re-shaped).
+    range_join_error_sessions; a11's pivot is the a5 rollup re-shaped;
+    token_counts ⊂ source_stats' scoring; a12_distinct_users overlaps
+    a5's grouping — both displaced in round 4 so the winnow near-dup
+    family gets driver-gate correctness rows).
     Kept out of the driver's 50-row gate so every distinct operator family
     gets a recorded row there; run them with
     ``python tools/check_oracles.py --extended``."""
@@ -2254,14 +2257,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_mp": _ann_lsh_topk_mp,
         "a2_events_by_date": _a2_events_by_date,
         "a12_approx_distinct": _a12_approx_distinct,
+        "a12_distinct_users": _a12_distinct_users,
         "a3_key_usage": _a3_key_usage,
         "doc_tf_embeddings": _doc_tf_embeddings,
         "a11_type_pivot": _a11_type_pivot,
         "t8_gap_sessions": _t8_gap_sessions,
         "fingerprints": _fingerprints,
+        "token_counts": _token_counts,
         "winnow_fingerprints": _winnow_fingerprints,
-        "winnow_near_dup": _winnow_near_dup,
-        "winnow_containment": _winnow_containment,
     }
 
 
@@ -2273,14 +2276,14 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_np": _ANN_SQL,
         "ann_lsh_topk_mp": _ann_lsh_mp_sql(),
         "a2_events_by_date": _A2_SQL,
+        "a12_distinct_users": _A12_SQL,
         "a3_key_usage": _A3_USAGE_SQL,
         "doc_tf_embeddings": _DOC_TF_SQL,
         "a11_type_pivot": _A11_SQL,
         "t8_gap_sessions": _T8_GAP_SQL,
         "fingerprints": _FINGERPRINT_SQL,
+        "token_counts": _TOKEN_COUNTS_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
-        "winnow_near_dup": _WINNOW_NEAR_DUP_SQL,
-        "winnow_containment": _WINNOW_CONTAINMENT_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

@@ -7,11 +7,21 @@ similarity, text analysis, aggregates, reassembly, joins). Each query is
 forced end-to-end with a noop sink (full computation, no driver collect
 overhead); one warmup pass absorbs JVM/codegen compilation so the numbers
 measure steady-state executor throughput, which is what scales.
+
+SELF-DEFENSE against shared-VM noise (two rounds of ambiguous flagship
+numbers forced this): every query runs ``SPARK_GRAFT_BENCH_REPS`` times
+(default 3) and reports the MEDIAN; per-query spread (max−min) ships in
+the JSON so a reader can tell signal from contention. The flagship gets
+extra reps (up to 3 more) whenever its relative spread exceeds
+``_STABLE_SPREAD`` — and if it STILL exceeds the bound, the JSON carries
+``"flagship_unstable": true`` so the docs/sec headline is explicitly
+marked untrustworthy rather than silently wrong.
 """
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -19,6 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+#: flagship reps whose (max−min)/median exceeds this are re-run; still
+#: above the bound after the extra reps → flagged unstable in the JSON
+_STABLE_SPREAD = 0.25
 
 HEADLINE = [
     "flagship_extract",
@@ -80,11 +95,34 @@ def main() -> int:
     # runs then measure steady-state throughput (what scales on a cluster)
     _force(qs["flagship_extract"](spark, SF_DIR))
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
+    def _timed(name: str) -> float:
         t0 = time.monotonic()
         _force(qs[name](spark, SF_DIR))
-        times[name] = round(time.monotonic() - t0, 3)
+        return time.monotonic() - t0
+
+    reps: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        reps[name] = [_timed(name) for _ in range(REPS)]
+
+    # flagship self-defense: the north metric must not be a noise artifact
+    flag = reps["flagship_extract"]
+    extra = 0
+    while (
+        len(flag) > 1
+        and (max(flag) - min(flag)) / statistics.median(flag) > _STABLE_SPREAD
+        and extra < 3
+    ):
+        flag.append(_timed("flagship_extract"))
+        extra += 1
+    flagship_spread = (
+        round((max(flag) - min(flag)) / statistics.median(flag), 3)
+        if len(flag) > 1
+        else 0.0
+    )
+    flagship_unstable = flagship_spread > _STABLE_SPREAD
+
+    times = {n: round(statistics.median(r), 3) for n, r in reps.items()}
+    spread = {n: round(max(r) - min(r), 3) for n, r in reps.items()}
 
     # the north metric: end-to-end turns/sec of the flagship extraction
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
@@ -138,10 +176,15 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "rep_spread": spread,
+                "reps": REPS,
                 "sf": _sf_from_dir(SF_DIR),
                 "cpus": CPUS,
                 "flagship_docs": n_docs,
                 "flagship_docs_per_sec": turns_per_sec,
+                "flagship_reps": [round(t, 3) for t in flag],
+                "flagship_spread_pct": flagship_spread,
+                "flagship_unstable": flagship_unstable,
                 "cap_counters": {
                     "max_doc_freq": cap,
                     "max_bucket_size": cap,

@@ -199,12 +199,20 @@ def minhash_coefficients(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (aᵢ, bᵢ) pairs for the Carter-Wegman family
     gᵢ(h) = (aᵢ·h + bᵢ) mod (2^61 − 1), derived from md5 of (seed, i) so
     Spark, the DuckDB oracles, and any other engine reproduce the exact
-    same permutations without sharing state."""
+    same permutations without sharing state.
+
+    Range note: a and b come from 15 hex chars (60 bits), so they cover
+    [1, 2^60] / [0, 2^60) rather than the full [1, p−1] — the family is
+    uniform over a 60-bit coefficient subrange, not strictly 2-universal
+    over GF(p). Harmless for the minwise estimator (the per-position
+    rankings are still ~independent permutations), and the 60-bit draw is
+    FROZEN: widening to 16 hex chars would change every shipped oracle
+    hash for no estimator benefit."""
     coeffs = []
     for i in range(n_hashes):
         d = hashlib.md5(f"minhash-{seed}-{i}".encode()).hexdigest()
-        a = int(d[:15], 16) % (MINHASH_P - 1) + 1  # a ∈ [1, p-1]
-        b = int(d[15:30], 16) % MINHASH_P
+        a = int(d[:15], 16) % (MINHASH_P - 1) + 1  # a ∈ [1, 2^60] (see note)
+        b = int(d[15:30], 16) % MINHASH_P  # b ∈ [0, 2^60)
         coeffs.append((a, b))
     return coeffs
 

@@ -54,7 +54,9 @@ def asof_join(
     ``{prefix}{right_ts}`` and ``{prefix}{c}`` for each carried right
     column — NULL where no right row qualifies. ``tolerance_seconds``
     additionally nulls matches farther than that gap (kept rows, NULLed
-    payload — left-join semantics throughout).
+    payload — left-join semantics throughout); on NUMERIC timestamp
+    columns (epoch seconds, offsets) the tolerance compares in the ts
+    column's own units via plain subtraction.
 
     NULL hygiene (= equi-join semantics, matching the DuckDB oracle):
     right rows with a NULL key or NULL timestamp never match anything
@@ -117,18 +119,30 @@ def asof_join(
 
     out = unioned.withColumn("_asof_m", matched).filter(F.col("_asof_side") == 1)
     if tolerance_seconds is not None:
-        # numeric microsecond gap, not an interval literal: float-formatted
-        # literals break on scientific notation (5e-05), and timestamp_diff
-        # works on TIMESTAMP and TIMESTAMP_NTZ alike
-        tol_us = int(round(float(tolerance_seconds) * 1_000_000))
-        gap_us = (
-            F.timestamp_diff("MICROSECOND", F.col("_asof_m._ts"), F.col("_asof_ts"))
+        a, b = (
+            (F.col("_asof_m._ts"), F.col("_asof_ts"))
             if direction == "backward"
-            else F.timestamp_diff("MICROSECOND", F.col("_asof_ts"), F.col("_asof_m._ts"))
+            else (F.col("_asof_ts"), F.col("_asof_m._ts"))
         )
-        out = out.withColumn(
-            "_asof_m", F.when(gap_us <= tol_us, F.col("_asof_m"))
-        )
+        from pyspark.sql.types import NumericType
+
+        if isinstance(unioned.schema["_asof_ts"].dataType, NumericType):
+            # numeric ts columns (epoch seconds, offsets, …): the tolerance
+            # is in the column's OWN units — timestamp_diff would fail at
+            # analysis time with an unrelated-looking type error
+            out = out.withColumn(
+                "_asof_m",
+                F.when((b - a) <= F.lit(float(tolerance_seconds)), F.col("_asof_m")),
+            )
+        else:
+            # numeric microsecond gap, not an interval literal: float-
+            # formatted literals break on scientific notation (5e-05), and
+            # timestamp_diff works on TIMESTAMP and TIMESTAMP_NTZ alike
+            tol_us = int(round(float(tolerance_seconds) * 1_000_000))
+            gap_us = F.timestamp_diff("MICROSECOND", a, b)
+            out = out.withColumn(
+                "_asof_m", F.when(gap_us <= tol_us, F.col("_asof_m"))
+            )
 
     cols = [F.col(f"_asof_l.{c}").alias(c) for c in left.columns]
     cols.append(F.col("_asof_m._ts").alias(f"{prefix}{rts}"))

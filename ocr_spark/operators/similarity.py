@@ -242,8 +242,17 @@ def knn_join(
     Determinism: scores round to 6 dp BEFORE selection and the partial
     top-k uses the same (score desc, id asc) order as the final rank, so
     the map-side cut keeps exactly the rows the exact window would — the
-    result is identical to the brute-force cross-join + window (the SQL
-    oracle's shape) including ties."""
+    result equals the brute-force cross-join + window (the SQL oracle's
+    shape) up to 6-dp rounding of ~1-ulp float association differences:
+    queries are pre-normalized here (dot(v, q/|q|)/|v| with pairwise-
+    summed matmuls) while a sequential dot(v,q)/(|v|·|q|) can differ in
+    the last ulp, which on an exact .5·10⁻⁶ boundary could flip the
+    rounded score and hence top-k membership near the cut (never observed
+    in the differential tests; noted for honesty).
+
+    NOTE this operator is EAGER at call time: the query side is collected
+    to the driver when you call it (unlike every other plan-only
+    operator), because the closure needs the materialized matrix."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -297,6 +306,17 @@ def knn_join(
                 )
                 buf_ids[j].extend(ids_all[sel].tolist())
                 buf_scores[j].extend(s[sel].tolist())
+                if len(buf_ids[j]) > 4 * k:
+                    # re-truncate to k between batches: without this the
+                    # buffers grow as n_batches × k per query instead of
+                    # the claimed O(k). Same (score desc, id asc) order as
+                    # the final cut, so no candidate the window would keep
+                    # is dropped.
+                    bi = np.asarray(buf_ids[j])
+                    bs = np.asarray(buf_scores[j])
+                    keep = np.lexsort((bi, -bs))[:k]
+                    buf_ids[j] = bi[keep].tolist()
+                    buf_scores[j] = bs[keep].tolist()
         out_q, out_i, out_s = [], [], []
         for j in range(nq):
             if not buf_ids[j]:

@@ -77,13 +77,16 @@ class ExtractionJob:
         # filesystem contract (extract_stream._require_local_path): on a
         # URI-schemed path the pathlib probe would silently miss the
         # pointer and read the whole multi-snapshot dir, so reject it.
-        if "://" in path and not path.startswith("file://"):
-            from ocr_spark.streaming.extract_stream import _require_local_path
+        # Called UNCONDITIONALLY — it also normalizes file:// prefixes,
+        # which pathlib.Path would otherwise treat as a relative path and
+        # fall through to the same whole-dir misread the guard prevents.
+        from ocr_spark.streaming.extract_stream import _require_local_path
 
-            _require_local_path(path, "learned words path")  # raises
-        cur = pathlib.Path(path) / "_CURRENT"
+        root = _require_local_path(path, "learned words path")
+        path = str(root)
+        cur = root / "_CURRENT"
         if cur.exists():
-            path = str(pathlib.Path(path) / json.loads(cur.read_text())["snapshot"])
+            path = str(root / json.loads(cur.read_text())["snapshot"])
         try:
             rows = (
                 self.spark.read.parquet(path)

@@ -36,12 +36,16 @@ corpus with the same (n_hashes, n_bands, k, threshold)
 (tests/test_streaming.py pins this over a multi-batch replay).
 
 At 100 TB: the store's bands table is O(docs × n_bands) fixed-width rows
-— the same asymptotics as the batch shuffle, amortized over ingestion;
-each micro-batch does one broadcast join against it (partition the bands
-table by bucket at rest to prune the scan). The hot-bucket cap is a
-BATCH-side concept (global posting sizes aren't known incrementally);
-cap-sensitive deployments should periodically re-run the batch operator
-to rebuild the store (documented trade-off).
+— the same asymptotics as the batch shuffle, amortized over ingestion.
+The bands table is PARTITIONED AT REST on ``_pb = pmod(hash(bucket),
+BANDS_PARTITIONS)`` and each micro-batch probes it through a
+``_pb IN (batch's buckets)`` filter, so the per-batch join reads only
+the store partitions the new documents can possibly collide with
+(PartitionFilters pruning, pinned by tests/test_streaming.py) instead of
+scanning the whole accumulated table. The hot-bucket cap is a BATCH-side
+concept (global posting sizes aren't known incrementally); cap-sensitive
+deployments should periodically re-run the batch operator to rebuild the
+store (documented trade-off).
 """
 from __future__ import annotations
 
@@ -60,6 +64,20 @@ from ocr_spark.streaming.extract_stream import (
 
 BANDS_SUBDIR = "bands"
 PAIRS_SUBDIR = "pairs"
+
+#: at-rest partition count for the bands table: pmod(hash(bucket), N).
+#: Spark's hash() is murmur3 and deterministic across sessions, so the
+#: same bucket digest always lands in the same partition on every commit.
+BANDS_PARTITIONS = 16
+
+
+def _with_pb(bands: DataFrame) -> DataFrame:
+    """Attach the at-rest partition key (idempotent)."""
+    if "_pb" in bands.columns:
+        return bands
+    return bands.withColumn(
+        "_pb", F.pmod(F.hash("bucket"), F.lit(BANDS_PARTITIONS))
+    )
 
 
 def read_neardup_state(
@@ -141,10 +159,12 @@ def neardup_foreach_batch(
             new_bands = _banded(
                 batch_df, text_col, id_col, n_hashes, n_bands, k
             )
+            new_bands = _with_pb(new_bands)
             if existing is None:
                 old_bands, old_pairs = None, None
             else:
                 old_bands, old_pairs = existing
+                old_bands = _with_pb(old_bands)  # pre-_pb-layout stores
                 # idempotent re-ingestion: a doc id already registered
                 # (replayed source file) must not re-enter the state
                 seen = old_bands.select("id").distinct()
@@ -153,6 +173,23 @@ def neardup_foreach_batch(
                 new_bands if old_bands is None
                 else old_bands.unionByName(new_bands)
             )
+            # partition-pruned probe: the accumulated store is laid out by
+            # _pb at rest, and only partitions holding the micro-batch's
+            # buckets can produce a collision — the IN filter reaches the
+            # parquet scan as a PartitionFilter (pinned in
+            # tests/test_streaming.py), so the per-batch join reads
+            # O(batch's partitions), not the whole store. new_bands'
+            # buckets all satisfy the filter by construction.
+            batch_pbs = [
+                row[0]
+                for row in new_bands.select("_pb").distinct().collect()
+            ]
+            if not batch_pbs and existing is None:
+                # an empty FIRST batch must not commit: a 0-row
+                # partitionBy write has no schema-bearing files, and the
+                # replayed empty batch is idempotent anyway
+                return
+            probe = all_bands.filter(F.col("_pb").isin(batch_pbs))
             # the new side is the micro-batch — broadcast it so the
             # accumulated-side probe is a shuffle-free scan
             l, r = F.col("l"), F.col("r")
@@ -163,7 +200,7 @@ def neardup_foreach_batch(
                     )
                 )
                 .join(
-                    all_bands.select(
+                    probe.select(
                         F.struct("id", "signature").alias("r"), "band", "bucket"
                     ),
                     ["band", "bucket"],
@@ -183,7 +220,9 @@ def neardup_foreach_batch(
             )
 
             def stage(tmp: pathlib.Path) -> None:
-                all_bands.write.mode("overwrite").parquet(str(tmp / BANDS_SUBDIR))
+                all_bands.write.mode("overwrite").partitionBy("_pb").parquet(
+                    str(tmp / BANDS_SUBDIR)
+                )
                 merged_pairs.write.mode("overwrite").parquet(str(tmp / PAIRS_SUBDIR))
 
             try:

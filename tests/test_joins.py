@@ -274,6 +274,30 @@ def test_asof_subsecond_tolerance(spark):
     assert got == {1: 101}  # 40us gap inside the 50us band; 940us quote out
 
 
+def test_asof_tolerance_on_numeric_ts(spark):
+    """tolerance on a NUMERIC ts column (epoch seconds / offsets) compares
+    in the column's own units via plain subtraction — previously this path
+    failed at analysis time because timestamp_diff requires timestamps."""
+    from ocr_spark.operators.joins import asof_join
+
+    quotes = spark.createDataFrame(
+        [("A", 100.0, 10), ("A", 500.0, 11)],
+        "sym string, ts double, quote_id long",
+    )
+    trades = spark.createDataFrame(
+        [("A", 130.0, 1), ("A", 520.0, 2), ("A", 900.0, 3)],
+        "sym string, ts double, trade_id long",
+    )
+    got = {
+        r["trade_id"]: r["q_quote_id"]
+        for r in asof_join(
+            trades, quotes, on="sym", prefix="q_", tolerance_seconds=50
+        ).collect()
+    }
+    # 130-100=30 in band; 520-500=20 in band; 900-500=400 out of band
+    assert got == {1: 10, 2: 11, 3: None}
+
+
 def test_range_join_fractional_bucket_seconds(spark, points_intervals):
     from ocr_spark.operators.joins import range_join
 

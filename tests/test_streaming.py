@@ -376,6 +376,48 @@ def test_incremental_neardup_replay_and_reingestion_idempotent(spark, tmp_path):
     assert {(r["id_a"], r["id_b"]) for r in pairs2.collect()} == want
 
 
+def test_neardup_store_partitioned_and_probe_prunes(spark, tmp_path):
+    """The bands table is laid out by _pb = pmod(hash(bucket), N) at rest,
+    and the hook's probe filter reaches the parquet scan as a
+    PartitionFilter — the per-batch join reads only the partitions the
+    micro-batch's buckets hash into, not the whole accumulated store."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.streaming.neardup_stream import (
+        BANDS_SUBDIR,
+        neardup_foreach_batch,
+        read_neardup_state,
+    )
+    from ocr_spark.streaming.extract_stream import _learned_state
+
+    docs = _neardup_docs(spark)
+    store = str(tmp_path / "neardup_part")
+    hook = neardup_foreach_batch(store, id_col="doc_id", threshold=0.5)
+    hook(docs.filter("doc_id < 8"), 0)
+
+    # at-rest layout: hive-style _pb=... partition dirs inside the snapshot
+    root = tmp_path / "neardup_part"
+    snap = root / _learned_state(root)["snapshot"] / BANDS_SUBDIR
+    pb_dirs = [p.name for p in snap.iterdir() if p.name.startswith("_pb=")]
+    assert pb_dirs, f"bands not partitioned at rest: {list(snap.iterdir())}"
+
+    # the probe shape the hook builds: store read + IN filter → the filter
+    # must reach the scan as a PartitionFilter (metadata-only pruning)
+    bands, _ = read_neardup_state(spark, store)
+    some_pbs = [int(d.split("=")[1]) for d in pb_dirs[:2]]
+    probe = bands.filter(F.col("_pb").isin(some_pbs))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    part_filter = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert part_filter and "_pb" in part_filter[0], plan
+    # and the pruned read returns exactly those partitions' rows
+    assert probe.count() == bands.filter(F.col("_pb").isin(some_pbs)).count()
+    assert (
+        bands.select("_pb").distinct().count() >= len(pb_dirs) > 0
+    )
+
+
 def test_neardup_stream_end_to_end(spark, tmp_path):
     """Full Structured Streaming integration: readStream → foreachBatch
     near-dup hook (availableNow) over the real transcript files. The

@@ -134,7 +134,7 @@ def test_approx_distinct_within_tolerance(spark):
     sf = "/root/testdata/sf0.001"
     exact = {
         r["event_type"]: r["n_users"]
-        for r in e.queries()["a12_distinct_users"](spark, sf).collect()
+        for r in e.extra_queries()["a12_distinct_users"](spark, sf).collect()
     }
     approx = {
         r["event_type"]: r["n_users_approx"]
