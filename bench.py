@@ -95,10 +95,27 @@ def main() -> int:
     # runs then measure steady-state throughput (what scales on a cluster)
     _force(qs["flagship_extract"](spark, SF_DIR))
 
+    def _clean_session() -> None:
+        """Between-query hygiene: operators that RETURN checkpoint-backed
+        results (curate_corpus, dedup_clusters) leave their final blocks
+        persisted — the caller owns their lifetime, and this caller has
+        consumed them (noop write). Drop them and collect the py4j refs so
+        the ContextCleaner isn't waiting on a driver GC that may never
+        come. Without this the suite degrades progressively as leaked
+        blocks accumulate (measured: curate_corpus 8.1 → 19.2 → 29.1 s
+        over three consecutive reps — the round-3 bench regression)."""
+        import gc
+
+        gc.collect()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+
     def _timed(name: str) -> float:
         t0 = time.monotonic()
         _force(qs[name](spark, SF_DIR))
-        return time.monotonic() - t0
+        dt = time.monotonic() - t0
+        _clean_session()
+        return dt
 
     reps: dict[str, list[float]] = {}
     for name in HEADLINE:

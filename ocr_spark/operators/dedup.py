@@ -766,6 +766,28 @@ def simhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release the executor blocks behind an eager checkpoint the
+    computation has FINISHED with. ``localCheckpoint`` truncates lineage,
+    so this is only safe on intermediates that are never read again —
+    here, the superseded label generations and the pair materialization
+    of the connected-components loop. Spark's ContextCleaner would free
+    these eventually (weak refs + driver GC), but "eventually" is what
+    let every iterative query leak one pinned generation per pass: in a
+    long-lived session the leaked blocks shrink execution memory and
+    degrade every later query (measured on the bench suite: curate_corpus
+    8.1 → 19.2 → 29.1 s over three consecutive reps, with persistent-RDD
+    count climbing 0 → 10 — the round-3 bench regression's root cause).
+    Best-effort: reliable checkpoints keep their files and merely drop
+    any block copies; non-LogicalRDD plans are a no-op."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # cleanup must never fail the query
+
+
 def _checkpointer(df: DataFrame, checkpoint_dir: str | None):
     """Lineage-truncation strategy for iterative loops: ``localCheckpoint``
     (executor-local blocks — fast, but an executor loss restarts the whole
@@ -854,8 +876,15 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the previous generation was read for the last time by the probe
+        # above — free its blocks NOW instead of leaking one pinned
+        # generation per pass until driver GC (see _free_checkpoint)
+        _free_checkpoint(labels)
         labels = new_labels
         if changed == 0:
+            # the returned labels are a self-contained checkpoint; the
+            # pair materialization only fed the loop
+            _free_checkpoint(pairs)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
