@@ -1231,7 +1231,8 @@ ORDER BY score DESC, id ASC LIMIT 10
 
 def _ivf_topk(spark, sf_dir):
     """IVF approximate top-k: the shipped spherical-k-means coarse
-    quantizer (tools/train_ivf.py, 8 cells) assigns the corpus; only the
+    quantizer (tools/train_ivf.py, n_cells = √(training rows) via
+    derive_ivf_params) assigns the corpus; only the
     nprobe=3 cells nearest the query are scanned, exact cosine rerank
     inside — the data-adaptive counterpart of the hyperplane-LSH search.
     With the corpus at rest partitioned by cell the probe filter becomes
@@ -1501,10 +1502,11 @@ SELECT DISTINCT id_a, id_b, cos FROM scored WHERE cos >= 0.4
 
 def _media_image_features(spark, sf_dir):
     """M1 with REAL codecs (stdlib PNG/BMP/PPM decode — functions/
-    codecs.py) over deterministically synthesized real payloads; the
-    JPEG-magic rows pin the NULL-feature behavior for formats that truly
-    need native libs. Rows-only (binary decode is not SQL-expressible);
-    exact feature values are pytest-pinned in tests/test_multimodal.py."""
+    codecs.py + the pure-numpy baseline JPEG in functions/jpeg.py) over
+    deterministically synthesized real payloads; the corrupt JPEG-magic
+    rows pin the NULL-feature behavior for undecodable payloads. Rows-only
+    (binary decode is not SQL-expressible); exact feature values are
+    pytest-pinned in tests/test_multimodal.py."""
     from ocr_spark.operators.multimodal import (
         extract_image_features,
         synthesize_real_media,

@@ -238,7 +238,18 @@ def decode_image(data: bytes) -> np.ndarray:
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)
     if data[:3] == b"\xff\xd8\xff":
-        raise UnsupportedMediaError("JPEG (needs libjpeg/PIL)")
+        # baseline JPEG decodes in-repo (functions/jpeg.py, pure numpy
+        # from the public T.81 spec); progressive/arithmetic raise
+        # UnsupportedMediaError from inside, and malformed streams
+        # surface as ValueError like every other codec here
+        from ocr_spark.functions.jpeg import decode_baseline_jpeg
+
+        try:
+            return decode_baseline_jpeg(data)
+        except (UnsupportedMediaError, ValueError):
+            raise
+        except Exception as e:
+            raise ValueError(f"corrupt JPEG: {e}") from e
     raise UnsupportedMediaError(f"unknown image magic {data[:4]!r}")
 
 

@@ -17,8 +17,12 @@ inputs, tag the side, and run ONE window pass per key ordered by
 plus a per-key sort — the same cost as the aggregation Spark would need
 for the rerank alone, with no intermediate blow-up. At 100 TB this is
 shuffle-bound on |left|+|right| rows exactly once; a hot key serializes
-into one task's sort (spill-backed), which is the documented limit shared
-by every per-key-ordered operator here (cf. ``t8`` sessionization).
+into one task's sort (spill-backed) — the documented limit shared by
+every per-key-ordered operator here (cf. ``t8`` sessionization). For the
+SKEWED-key case, ``salt_bucket_seconds`` switches to a two-pass shape
+that splits each key's sort into time-bucket tasks (see
+:func:`asof_join`'s parameter docs) at the cost of one extra small
+shuffle — exact same results, pinned by tests/test_joins.py.
 
 Semantics (= DuckDB ``ASOF LEFT JOIN`` with a deterministic tie rule):
 - backward: match the greatest right ``ts`` <= left ``ts`` (inclusive).
@@ -45,6 +49,7 @@ def asof_join(
     prefix: str = "right_",
     direction: str = "backward",
     tolerance_seconds: float | None = None,
+    salt_bucket_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join ``left`` to ``right`` on equal ``on`` keys and the
     nearest ``right_ts`` at-or-before (``backward``) / at-or-after
@@ -62,6 +67,22 @@ def asof_join(
     right rows with a NULL key or NULL timestamp never match anything
     (dropped from the match side); left rows with a NULL key or NULL
     timestamp are kept with a NULL match.
+
+    ``salt_bucket_seconds`` (opt-in) is the SKEW escape hatch: the default
+    single window sorts each key in one task, so a hot key (one symbol
+    with 10⁹ events) becomes a straggler. With a bucket width set, the
+    operator runs the scale-safe two-pass shape instead: (1) the same
+    union+window per (key, time-bucket) — a hot key's sort now splits
+    across its buckets — and (2) a per-(key, bucket) pre-aggregation of
+    the right side's last-seen payload, carried across buckets by a
+    window over the TINY bucket timeline and merged into bucket-local
+    misses. Results are EXACTLY equal to the unsalted path (equal
+    timestamps always share a bucket, so the inclusive bound and the
+    max-payload tie rule are decided by the same in-bucket ordering);
+    cost is one extra shuffle of one row per non-empty (key, bucket).
+    Width is in seconds for timestamp columns, in the column's own units
+    for numeric ones; pick it so a hot key spreads over hundreds of
+    buckets (e.g. an hour for a year of ticks).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -105,19 +126,25 @@ def asof_join(
     ts_order = (
         F.col("_asof_ts").asc() if direction == "backward" else F.col("_asof_ts").desc()
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(ts_order, F.col("_asof_side").asc(), F.col("_asof_r").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # a NULL left timestamp never matches (in forward mode it would sort
-    # NULLS LAST in the desc ordering and see every right row)
-    matched = F.when(
-        F.col("_asof_ts").isNotNull(),
-        F.last("_asof_r", ignorenulls=True).over(w),
-    )
-
-    out = unioned.withColumn("_asof_m", matched).filter(F.col("_asof_side") == 1)
+    if salt_bucket_seconds is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(ts_order, F.col("_asof_side").asc(), F.col("_asof_r").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # a NULL left timestamp never matches (in forward mode it would
+        # sort NULLS LAST in the desc ordering and see every right row)
+        matched = F.when(
+            F.col("_asof_ts").isNotNull(),
+            F.last("_asof_r", ignorenulls=True).over(w),
+        )
+        out = unioned.withColumn("_asof_m", matched).filter(
+            F.col("_asof_side") == 1
+        )
+    else:
+        out = _salted_asof(
+            unioned, keys, ts_order, direction, float(salt_bucket_seconds)
+        )
     if tolerance_seconds is not None:
         a, b = (
             (F.col("_asof_m._ts"), F.col("_asof_ts"))
@@ -148,6 +175,95 @@ def asof_join(
     cols.append(F.col("_asof_m._ts").alias(f"{prefix}{rts}"))
     cols.extend(F.col(f"_asof_m.{c}").alias(f"{prefix}{c}") for c in payload_cols)
     return out.select(*cols)
+
+
+def _salted_asof(
+    unioned: DataFrame,
+    keys: list[str],
+    ts_order,
+    direction: str,
+    width: float,
+) -> DataFrame:
+    """The skew-safe two-pass as-of core over the tagged union frame.
+
+    Pass 1 — bucket-local window: the unsalted ordering, but partitioned
+    by (key, time-bucket); a left row whose match lives in its own bucket
+    resolves here, and a hot key's sort is now ~|key rows| / #buckets per
+    task. Pass 2 — cross-bucket carry: one representative right payload
+    per non-empty (key, bucket) (the bucket's LAST right row under the
+    same ordering — an unbounded window over right rows only, so ties
+    keep the max-payload rule), carried along the bucket timeline by a
+    window whose partitions hold one row per bucket, then merged into the
+    bucket-local misses. Equal timestamps always land in the same bucket
+    (the bucket function is monotone in ts), so inclusive-bound semantics
+    never split across the seam."""
+    from pyspark.sql.types import NumericType
+
+    ts = F.col("_asof_ts")
+    dt = unioned.schema["_asof_ts"].dataType
+    if isinstance(dt, NumericType):
+        bucket = F.floor(ts / F.lit(width))
+    else:
+        # TIMESTAMP / TIMESTAMP_NTZ: microseconds from a fixed epoch (a
+        # cast to long is illegal on NTZ; timestamp_diff works on both)
+        epoch = F.lit("1970-01-01 00:00:00").cast(dt)
+        bucket = F.floor(
+            F.timestamp_diff("MICROSECOND", epoch, ts) / F.lit(width * 1e6)
+        )
+    b = unioned.withColumn("_asof_bk", bucket)
+
+    wloc = (
+        Window.partitionBy(*keys, "_asof_bk")
+        .orderBy(ts_order, F.col("_asof_side").asc(), F.col("_asof_r").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = F.when(
+        ts.isNotNull(), F.last("_asof_r", ignorenulls=True).over(wloc)
+    )
+    b = b.withColumn("_asof_loc", local)
+
+    # one representative right payload per non-empty (key, bucket): the
+    # window value is constant over the partition, so distinct() yields
+    # exactly one row per bucket
+    wrep = (
+        Window.partitionBy(*keys, "_asof_bk")
+        .orderBy(ts_order, F.col("_asof_r").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    reps = (
+        b.filter(F.col("_asof_side") == 0)
+        .select(*keys, "_asof_bk", F.last("_asof_r").over(wrep).alias("_asof_bl"))
+        .distinct()
+    )
+
+    # the bucket timeline (both sides' buckets, so carry-in exists for
+    # left buckets holding no right rows), ordered along the direction;
+    # the frame EXCLUDES the own bucket — pass 1 already decided it
+    timeline = (
+        b.select(*keys, "_asof_bk").distinct().filter(F.col("_asof_bk").isNotNull())
+    )
+    bord = (
+        F.col("_asof_bk").asc() if direction == "backward"
+        else F.col("_asof_bk").desc()
+    )
+    wcarry = (
+        Window.partitionBy(*keys)
+        .orderBy(bord)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        timeline.join(reps, [*keys, "_asof_bk"], "left")
+        .select(
+            *keys,
+            "_asof_bk",
+            F.last("_asof_bl", ignorenulls=True).over(wcarry).alias("_asof_prev"),
+        )
+    )
+    return (
+        b.filter(F.col("_asof_side") == 1)
+        .join(carry, [*keys, "_asof_bk"], "left")
+        .withColumn("_asof_m", F.coalesce("_asof_loc", "_asof_prev"))
+    )
 
 
 def range_join(

@@ -7,11 +7,12 @@ machinery is real and tested — schemas, ``mapInPandas`` batch iteration,
 Arrow batch sizing, partition-preserving narrow execution — and so are the
 codecs for every format decodable without external libraries:
 
-* ``decode=\"real\"`` — stdlib codecs (functions/codecs.py): PNG/BMP/PPM
-  images (decode, resize, re-encode) and PCM WAV audio. Formats that
-  genuinely need native libraries (JPEG, video containers) yield NULL
-  features / pass-through payloads instead of failing the job; the video
-  frame-sampler keeps a marked ffmpeg seam.
+* ``decode=\"real\"`` — in-repo codecs: PNG/BMP/PPM images (decode,
+  resize, re-encode; functions/codecs.py), BASELINE JPEG (pure-numpy
+  T.81 implementation, functions/jpeg.py), and PCM WAV audio. Formats
+  that genuinely need native libraries (progressive JPEG, video
+  containers) yield NULL features / pass-through payloads instead of
+  failing the job; the video frame-sampler keeps a marked ffmpeg seam.
 * ``decode=\"fake\"`` — deterministic synthetic features derived from the
   payload bytes (md5-seeded): format-agnostic plumbing tests and benches
   that want zero codec cost.
@@ -117,10 +118,11 @@ def extract_image_features(
             for p in pdf["payload"]:
                 raw = bytes(p) if p is not None else b""
                 if decode == "real":
-                    # real decode (stdlib codecs: PNG/BMP/PPM). Undecodable
-                    # formats (e.g. JPEG — needs libjpeg) surface as NULL
-                    # features rather than failing the whole 100 TB job;
-                    # count nulls downstream to audit coverage.
+                    # real decode (in-repo codecs: PNG/BMP/PPM + baseline
+                    # JPEG). Undecodable formats (progressive JPEG, video)
+                    # and corrupt payloads surface as NULL features rather
+                    # than failing the whole 100 TB job; count nulls
+                    # downstream to audit coverage.
                     try:
                         img = decode_image(raw)
                         f, l = rgb_histogram_feature(img), mean_luma(img)
@@ -413,14 +415,17 @@ def extract_audio_features(df: DataFrame, decode: str = "real") -> DataFrame:
 
 
 def synthesize_real_media(spark, n: int = 48, seed: int = 13) -> DataFrame:
-    """Deterministic media table with REAL payloads — PNG/BMP-style images
-    and PCM WAV audio produced by the stdlib encoders — so the
-    ``decode='real'`` paths are exercised end-to-end in-sandbox (no
-    external data). Every third row is a JPEG-magic payload to pin the
-    null-feature behavior for genuinely unsupported formats."""
+    """Deterministic media table with REAL payloads — PNG/PPM images, PCM
+    WAV audio, and baseline JPEGs produced by the in-repo encoders
+    (functions/codecs.py + functions/jpeg.py) — so the ``decode='real'``
+    paths are exercised end-to-end in-sandbox (no external data). Every
+    third row is a JPEG; half of those are REAL baseline JPEGs (decoded by
+    the pure-numpy T.81 decoder) and half are JPEG-magic garbage that pins
+    the NULL-feature behavior for corrupt/undecodable payloads."""
     import numpy as np
 
     from ocr_spark.functions.codecs import encode_png, encode_ppm, encode_wav
+    from ocr_spark.functions.jpeg import encode_baseline_jpeg
 
     rows = []
     for i in range(n):
@@ -437,7 +442,12 @@ def synthesize_real_media(spark, n: int = 48, seed: int = 13) -> DataFrame:
             sig = 0.4 * np.sin(2 * np.pi * (220 + 20 * (i % 8)) * t)
             payload = encode_wav(sig, rate)
             meta = ("audio", "wav", None, None, 250, rate)
-        else:  # undecodable without libjpeg — exercises the null path
+        elif i % 6 == 2:  # real baseline JPEG (in-repo encoder)
+            h, w = 16 + (i % 3) * 8, 24 + (i % 2) * 8
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_baseline_jpeg(img)
+            meta = ("image", "jpg", w, h, None, None)
+        else:  # corrupt JPEG-magic garbage — exercises the null path
             payload = b"\xff\xd8\xff\xe0" + bytes(rng.integers(0, 256, 64, dtype=np.uint8))
             meta = ("image", "jpg", 10, 10, None, None)
         rows.append((i, payload, meta))

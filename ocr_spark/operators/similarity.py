@@ -341,6 +341,25 @@ def knn_join(
     )
 
 
+def derive_ivf_params(n_rows: int) -> dict:
+    """IVF hyperparameters FROM the corpus, not fixture-sized constants:
+    ``n_cells ≈ √N`` — the standard coarse-quantizer sizing (Jégou et al.
+    TPAMI 2011; FAISS guidance is k ∈ [√N, 4√N]) so posting lists average
+    ~√N entries and a query probes O(nprobe·√N) vectors — and
+    ``sample_n = 64·n_cells`` training points (k-means needs tens of
+    samples per cell; far fewer undertrains the quantizer). At 10⁹ rows
+    this derives ~31.6k cells from a ~2M-vector sample — driver-trainable
+    — where the old fixed (8, 512) would put 10⁸ vectors in every cell.
+    Floors keep tiny test fixtures workable; ``sample_n`` above the corpus
+    size simply trains on everything (the sample is a LIMIT)."""
+    import math
+
+    if n_rows <= 0:
+        raise ValueError(f"n_rows must be positive, got {n_rows}")
+    n_cells = max(8, int(round(math.sqrt(n_rows))))
+    return {"n_cells": n_cells, "sample_n": max(512, 64 * n_cells)}
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_cells: int = 8,

@@ -274,6 +274,56 @@ def test_asof_subsecond_tolerance(spark):
     assert got == {1: 101}  # 40us gap inside the 50us band; 940us quote out
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("width", [30.0, 120.0, 3600.0])
+def test_salted_asof_equals_unsalted(spark, quotes_trades, direction, width):
+    """The two-pass skew shape returns EXACTLY the single-window result —
+    across directions and bucket widths that put ties/matches in the same
+    bucket, adjacent buckets, and one bucket (degenerate case)."""
+    quotes, trades = quotes_trades
+    base = asof_join(
+        trades, quotes, on="sym", prefix="q_", direction=direction
+    ).collect()
+    salted = asof_join(
+        trades, quotes, on="sym", prefix="q_", direction=direction,
+        salt_bucket_seconds=width,
+    ).collect()
+    key = lambda r: r["trade_id"]  # noqa: E731
+    assert sorted(map(tuple, base)) == sorted(map(tuple, salted)), (
+        sorted(base, key=key), sorted(salted, key=key))
+
+
+def test_salted_asof_with_tolerance_and_randomized(spark):
+    """Randomized cross-check: 400 left rows / 150 right rows over 3 keys
+    with planted ts collisions; salted == unsalted with tolerance applied,
+    for a width that forces many cross-bucket carries."""
+    import random
+
+    rnd = random.Random(17)
+    quotes = [
+        ("K%d" % rnd.randrange(3), float(rnd.randrange(0, 2000)),
+         i, float(i % 7))
+        for i in range(150)
+    ]
+    trades = [
+        ("K%d" % rnd.randrange(4), float(rnd.randrange(0, 2200)), i)
+        for i in range(400)
+    ]
+    qdf = spark.createDataFrame(
+        quotes, "sym string, ts double, quote_id long, px double"
+    )
+    tdf = spark.createDataFrame(trades, "sym string, ts double, trade_id long")
+    for tol in (None, 50.0):
+        base = asof_join(
+            tdf, qdf, on="sym", prefix="q_", tolerance_seconds=tol
+        ).collect()
+        salted = asof_join(
+            tdf, qdf, on="sym", prefix="q_", tolerance_seconds=tol,
+            salt_bucket_seconds=100.0,
+        ).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, salted)), tol
+
+
 def test_asof_tolerance_on_numeric_ts(spark):
     """tolerance on a NUMERIC ts column (epoch seconds / offsets) compares
     in the column's own units via plain subtraction — previously this path

@@ -70,14 +70,27 @@ def test_real_image_features_match_local_codec(real_media):
         for r in extract_image_features(real_media, decode="real").collect()
     }
     src = {r["media_id"]: r for r in real_media.collect()}
+    n_jpeg_ok = 0
     for mid, r in out.items():
         kind = src[mid]["meta"]["format"]
         if kind in ("png", "ppm"):
             img = decode_image(bytes(src[mid]["payload"]))
             assert r["feature"] == pytest.approx(rgb_histogram_feature(img))
             assert r["mean_luma"] == pytest.approx(mean_luma(img))
-        else:  # wav + jpeg-magic rows are not decodable images
+        elif kind == "jpg":
+            # half the jpeg rows are REAL baseline JPEGs (the in-repo
+            # decoder handles them), half are planted garbage (NULL path)
+            try:
+                img = decode_image(bytes(src[mid]["payload"]))
+            except ValueError:
+                assert r["feature"] is None and r["mean_luma"] is None
+            else:
+                n_jpeg_ok += 1
+                assert r["feature"] == pytest.approx(rgb_histogram_feature(img))
+                assert r["mean_luma"] == pytest.approx(mean_luma(img))
+        else:  # wav rows are not decodable images
             assert r["feature"] is None and r["mean_luma"] is None
+    assert n_jpeg_ok > 0  # the real-JPEG path must actually be exercised
 
 
 def test_real_resize_reencodes_png_with_pixel_dims(spark):

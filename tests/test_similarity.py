@@ -245,6 +245,37 @@ def test_knn_join_empty_query_side(spark, vectors):
 # --------------------------------------------------------------------------
 
 
+def test_derive_ivf_params_scales_with_corpus():
+    """n_cells ≈ √N with an 8-cell floor; sample_n = 64·n_cells with a
+    512 floor — and the SHIPPED quantizer was trained with exactly the
+    derivation for its recorded training-tier row count (no fixture-sized
+    constants hiding in the artifact)."""
+    import json
+    from importlib.resources import files
+
+    import pytest
+
+    from ocr_spark.operators.similarity import (
+        derive_ivf_params,
+        load_ivf_centroids,
+    )
+
+    assert derive_ivf_params(10) == {"n_cells": 8, "sample_n": 512}
+    assert derive_ivf_params(500) == {"n_cells": 22, "sample_n": 1408}
+    p = derive_ivf_params(10**9)
+    assert p["n_cells"] == 31623 and p["sample_n"] == 64 * 31623
+    with pytest.raises(ValueError):
+        derive_ivf_params(0)
+
+    payload = json.loads(
+        (files("ocr_spark") / "data" / "ivf_centroids.json").read_text()
+    )
+    derived = derive_ivf_params(payload["n_rows"])
+    assert payload["n_cells"] == derived["n_cells"]
+    assert payload["sample_n"] == derived["sample_n"]
+    assert len(load_ivf_centroids()) == payload["n_cells"]
+
+
 def test_train_ivf_deterministic_and_unit_norm(vectors):
     from ocr_spark.operators.similarity import train_ivf_centroids
 
@@ -335,7 +366,7 @@ def test_shipped_centroids_contract():
         files("ocr_spark.data").joinpath("ivf_centroids.json").read_text()
     )
     cents = load_ivf_centroids()
-    assert len(cents) == meta["n_cells"] == 8
+    assert len(cents) == meta["n_cells"]  # derived: √(training rows)
     assert all(len(c) == meta["dim"] == 64 for c in cents)
     for c in cents:
         assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9

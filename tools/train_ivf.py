@@ -10,7 +10,11 @@ in both the Spark plans and the DuckDB oracles (same pattern as the BPE
 merges table — derived data, not external data). Deterministic: same tier
 + same params => byte-identical JSON.
 
-  python tools/train_ivf.py [--sf /root/testdata/sf0.001] [--cells 8]
+Hyperparameters default to :func:`derive_ivf_params` over the training
+tier's row count (n_cells ≈ √N, sample_n = 64·n_cells) — pass --cells /
+--sample only to override the derivation.
+
+  python tools/train_ivf.py [--sf /root/testdata/sf0.001] [--cells N]
 """
 from __future__ import annotations
 
@@ -25,8 +29,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
-    ap.add_argument("--cells", type=int, default=8)
-    ap.add_argument("--sample", type=int, default=512)
+    ap.add_argument("--cells", type=int, default=None,
+                    help="override derive_ivf_params n_cells")
+    ap.add_argument("--sample", type=int, default=None,
+                    help="override derive_ivf_params sample_n")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument(
         "--out",
@@ -37,26 +43,34 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    from ocr_spark.operators.similarity import train_ivf_centroids
+    from ocr_spark.operators.similarity import (
+        derive_ivf_params,
+        train_ivf_centroids,
+    )
     from ocr_spark.session import get_spark
 
     spark = get_spark(app_name="train_ivf")
     emb = spark.read.parquet(f"{args.sf}/embeddings.parquet")
+    n_rows = emb.count()
+    derived = derive_ivf_params(n_rows)
+    n_cells = args.cells if args.cells is not None else derived["n_cells"]
+    sample_n = args.sample if args.sample is not None else derived["sample_n"]
     centroids = train_ivf_centroids(
-        emb, args.cells, sample_n=args.sample, iters=args.iters
+        emb, n_cells, sample_n=sample_n, iters=args.iters
     )
     spark.stop()
 
     payload = {
-        "n_cells": args.cells,
+        "n_cells": n_cells,
         "dim": len(centroids[0]),
         "trained_on": args.sf,
-        "sample_n": args.sample,
+        "n_rows": n_rows,
+        "sample_n": sample_n,
         "iters": args.iters,
         "centroids": centroids,
     }
     pathlib.Path(args.out).write_text(json.dumps(payload, indent=1))
-    print(f"wrote {args.out}: {args.cells} cells x dim {len(centroids[0])}")
+    print(f"wrote {args.out}: {n_cells} cells x dim {len(centroids[0])}")
     return 0
 
 
