@@ -217,6 +217,27 @@ def test_textstats_stay_jvm_side(docs):
         assert plan.count("regexp_extract_all") == 1, op.__name__
 
 
+def test_shingle_operators_tokenize_once_per_row(docs):
+    """The shingle expression references its token array 4× and
+    interpreted HOF trees re-run every reference — so the tokenize MUST
+    be staged in its own projection (measured 40% of minhash_near_dup's
+    sf0.1 wall time when inlined). One regexp_extract_all per plan pins
+    the staging against CollapseProject re-inlining it."""
+    from ocr_spark.operators.dedup import (
+        decontaminate,
+        jaccard_near_duplicates,
+        minhash_signatures,
+    )
+
+    d = docs.select("doc_id", "text")
+    assert _plan(minhash_signatures(d)).count("regexp_extract_all") == 1
+    assert _plan(jaccard_near_duplicates(d)).count("regexp_extract_all") == 1
+    # decontaminate tokenizes each side once (train + benchmark)
+    assert _plan(
+        decontaminate(d, d.limit(5))
+    ).count("regexp_extract_all") == 2
+
+
 def test_knn_join_window_sees_partial_topk_not_cross_product(spark):
     """The per-query rank window must consume the mapInPandas partial
     top-k (≤ partitions × queries × k rows), NOT the |corpus| × |queries|
