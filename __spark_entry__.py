@@ -1688,6 +1688,108 @@ FROM documents
 """
 
 
+def _gopher_repetition(spark, sf_dir):
+    """Gopher repetition quality rules (Rae et al. 2021): duplicate-line
+    fraction/char-fraction, top-2-gram char coverage, duplicate-5-gram
+    char coverage — all narrow array expressions (one sort + one fold per
+    doc). Every ratio is a single IEEE division of exact integer counts,
+    so the oracle matches bit-for-bit; tie-break for the top gram is
+    (count desc, gram asc) on both engines."""
+    from ocr_spark.operators.textstats import with_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_repetition_stats(docs).select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top2gram_char_frac",
+        "dup5gram_char_frac",
+    )
+
+
+_GOPHER_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS nc,
+         regexp_extract_all(lower(text), '{WORD_RE}') AS t,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+linestats AS (
+  SELECT doc_id,
+         CASE WHEN len(lines) > 0
+              THEN ROUND(1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+         END AS dup_line_frac,
+         COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) AS lc,
+         COALESCE(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS dlc
+  FROM base
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                       i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM base WHERE len(t) >= 2
+),
+top2 AS (
+  SELECT doc_id, count(*) AS cnt, g
+  FROM g2 GROUP BY doc_id, g
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) = 1
+),
+g5 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 4),
+                                       i -> array_to_string(t[i:i+4], ' '))) AS g
+  FROM base WHERE len(t) >= 5
+),
+dup5 AS (
+  SELECT doc_id, SUM((cnt - 1) * length(g)) AS dupc
+  FROM (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       l.dup_line_frac,
+       CASE WHEN l.lc > 0 THEN ROUND(CAST(l.lc - l.dlc AS DOUBLE) / l.lc, 6) END
+         AS dup_line_char_frac,
+       CASE WHEN t2.cnt IS NOT NULL AND b.nc > 0
+            THEN ROUND(CAST(t2.cnt * length(t2.g) AS DOUBLE) / b.nc, 6)
+       END AS top2gram_char_frac,
+       CASE WHEN d5.doc_id IS NOT NULL AND b.nc > 0
+            THEN ROUND(CAST(d5.dupc AS DOUBLE) / b.nc, 6)
+       END AS dup5gram_char_frac
+FROM base b
+JOIN linestats l USING (doc_id)
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN dup5 d5 USING (doc_id)
+"""
+
+
+def _unigram_nll(spark, sf_dir):
+    """CCNet-style perplexity quality filter reduced to its unigram core:
+    train counts with one aggregate over the corpus, score each doc's
+    mean negative log-likelihood under add-1 smoothing. avg_nll rounds to
+    4 dp — ln is the repo's only cross-engine transcendental, and the
+    coarse rounding absorbs summation-order ulp noise (everything else is
+    integer-exact)."""
+    from ocr_spark.operators.textstats import with_unigram_nll
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_unigram_nll(docs).select(
+        F.col("id").alias("doc_id"), "n_scored_tokens", "avg_nll"
+    )
+
+
+_UNIGRAM_NLL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+tot AS (SELECT sum(cnt) AS n, count(*) AS v FROM counts)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_scored_tokens,
+       ROUND(-avg(ln((c.cnt + 1.0) / (tot.n + 1.0 * tot.v))), 4) AS avg_nll
+FROM toks t JOIN counts c USING (token) CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
 def _winnow_fingerprints(spark, sf_dir):
     from ocr_spark.operators.textstats import with_winnow_fingerprints
 
@@ -2267,6 +2369,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _fingerprints,
         "token_counts": _token_counts,
         "winnow_fingerprints": _winnow_fingerprints,
+        "gopher_repetition": _gopher_repetition,
+        "unigram_nll": _unigram_nll,
     }
 
 
@@ -2286,6 +2390,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "fingerprints": _FINGERPRINT_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
+        "gopher_repetition": _GOPHER_REPETITION_SQL,
+        "unigram_nll": _UNIGRAM_NLL_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

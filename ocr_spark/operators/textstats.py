@@ -259,6 +259,196 @@ def source_stats(
     )
 
 
+def with_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    Models", table A1 — the public quality-filter rules every web-corpus
+    pipeline applies), all as narrow array expressions:
+
+    * ``dup_line_frac`` — fraction of lines that are repeats of an
+      earlier line: ``1 − distinct/total`` over ``split(text, '\\n')``.
+    * ``dup_line_char_frac`` — fraction of line characters sitting in
+      those repeated occurrences (chars after each line's first copy).
+    * ``top{top_n}gram_char_frac`` — chars covered by the single most
+      frequent word ``top_n``-gram (count × gram length / text length);
+      ties break to the lexicographically smallest gram.
+    * ``dup{dup_n}gram_char_frac`` — chars in repeated occurrences of any
+      duplicated ``dup_n``-gram, count-based (overlaps are not
+      deduplicated — the count·len over-approximation of the published
+      character-coverage variant, documented so the threshold is
+      calibrated against THIS definition).
+
+    Physical shape: tokenize once (staged projection — the 4-reference
+    HOF hazard), sort the gram array, then ONE aggregate fold computes
+    run lengths / best run / duplicate chars in O(n log n) per row with
+    no shuffle and no UDF. Docs with fewer than n tokens get NULL n-gram
+    fracs (no signal), empty docs NULL line fracs."""
+    staged = df.withColumn("_rep_toks", tokens(text_col)).withColumn(
+        "_rep_lines", F.split(F.col(text_col), "\n")
+    )
+
+    def gram_arr(n: int) -> Column:
+        toks = F.col("_rep_toks")
+        return F.when(
+            F.size(toks) >= n,
+            F.sort_array(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            ),
+        )
+
+    def run_fold(sorted_col: Column) -> Column:
+        """struct(best_run, best_gram, dup_chars) over a sorted gram array."""
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit("").alias("bestg"),
+            F.lit(0).cast("long").alias("dupc"),
+        )
+
+        def step(acc, g):
+            is_rep = g == acc["prev"]
+            new_run = F.when(is_rep, acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                g.alias("prev"),
+                new_run.alias("run"),
+                F.when(new_run > acc["best"], new_run)
+                .otherwise(acc["best"])
+                .alias("best"),
+                F.when(new_run > acc["best"], g)
+                .otherwise(acc["bestg"])
+                .alias("bestg"),
+                (
+                    acc["dupc"]
+                    + F.when(is_rep, F.length(g)).otherwise(F.lit(0))
+                ).alias("dupc"),
+            )
+
+        return F.aggregate(sorted_col, init, step)
+
+    nc = F.length(text_col).cast("double")
+    lines = F.col("_rep_lines")
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    distinct_line_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    top_fold = run_fold(gram_arr(top_n))
+    dup_fold = run_fold(gram_arr(dup_n))
+    out = (
+        staged.withColumn("_rep_top", top_fold)
+        .withColumn("_rep_dup", dup_fold)
+        .withColumn("_rep_lc", line_chars)
+        .withColumn("_rep_dlc", distinct_line_chars)
+    )
+    return (
+        out.select(
+            "*",
+            F.when(
+                n_lines > 0,
+                F.round(1 - F.size(F.array_distinct(lines)) / n_lines, 6),
+            ).alias("dup_line_frac"),
+            F.when(
+                F.col("_rep_lc") > 0,
+                F.round(
+                    (F.col("_rep_lc") - F.col("_rep_dlc")) / F.col("_rep_lc"), 6
+                ),
+            ).alias("dup_line_char_frac"),
+            F.when(
+                F.col("_rep_top").isNotNull() & (nc > 0),
+                F.round(
+                    F.col("_rep_top.best")
+                    * F.length(F.col("_rep_top.bestg"))
+                    / nc,
+                    6,
+                ),
+            ).alias(f"top{top_n}gram_char_frac"),
+            F.when(
+                F.col("_rep_dup").isNotNull() & (nc > 0),
+                F.round(F.col("_rep_dup.dupc") / nc, 6),
+            ).alias(f"dup{dup_n}gram_char_frac"),
+        )
+        .drop("_rep_toks", "_rep_lines", "_rep_top", "_rep_dup", "_rep_lc", "_rep_dlc")
+    )
+
+
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram table (token, cnt) — ONE hash-aggregate over the
+    exploded token stream (map-side partial combine; the shuffle carries
+    one row per distinct token per partition). The training half of the
+    CCNet/KenLM-style perplexity filter, reduced to its unigram core."""
+    from ocr_spark.functions.explode import explode_nonnull
+
+    toked = df.select(tokens(text_col).alias("_lm_toks"))
+    return (
+        explode_nonnull(toked, "_lm_toks", "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def with_unigram_nll(
+    df: DataFrame,
+    counts: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under an add-α unigram
+    LM — the perplexity quality filter of the CCNet pipeline (Wenzek et
+    al. 2020), reduced to its unigram core so training is ONE aggregate
+    and scoring is exact arithmetic over counts. Returns
+    (id, n_scored_tokens, avg_nll) — ``exp(avg_nll)`` is the perplexity;
+    corpora keep documents below a threshold.
+
+    ``counts`` defaults to :func:`unigram_counts` over ``df`` itself
+    (self-scoring); pass a held-out counts table for the train/score
+    split. lp(t) = ln((c(t)+α)/(N+αV)) with N = total tokens and V =
+    vocabulary size, both carried as a broadcast one-row frame so the
+    whole plan stays lazy. avg_nll rounds to 4 dp — coarse enough that
+    the cross-engine float-summation ulp noise cannot flip the rounding
+    (ln is the repo's only cross-engine transcendental; everything else
+    here is integer-exact).
+
+    Shape at 100 TB: token-count aggregate + one join of the exploded
+    token stream against the counts table (broadcastable for real
+    vocabularies — ~10⁷ rows — else a shuffle join on fixed-width
+    tokens) + one per-doc aggregate. No UDF, no driver state."""
+    if counts is None:
+        counts = unigram_counts(df, text_col)
+    totals = counts.agg(
+        F.sum("cnt").alias("_lm_n"), F.count(F.lit(1)).alias("_lm_v")
+    )
+    from ocr_spark.functions.explode import explode_nonnull
+
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_lm_toks")
+    )
+    exploded = explode_nonnull(toked, "_lm_toks", "token", "id")
+    lp = F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+        / (F.col("_lm_n") + F.lit(alpha) * F.col("_lm_v"))
+    )
+    return (
+        exploded.join(F.broadcast(counts), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored_tokens"),
+            F.round(-F.avg(lp), 4).alias("avg_nll"),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of the casefolded, whitespace-collapsed,
     punctuation-stripped text — the standard "normalized-content hash" used

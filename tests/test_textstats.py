@@ -145,6 +145,100 @@ def test_approx_distinct_within_tolerance(spark):
         assert abs(approx[t] - n) <= max(2, 5 * 0.02 * n), (t, n, approx[t])
 
 
+def test_repetition_stats_known_values(spark):
+    """Hand-checked Gopher signals on planted inputs."""
+    from ocr_spark.operators.textstats import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # 4 lines, 'same line' repeated twice: dup_line_frac = 1-3/4
+            (0, "same line\nsame line\nother one\nfinal"),
+            # "spam and eggs" 2-gram "spam and" repeats 3x in 9 tokens;
+            (1, "spam and eggs spam and ham spam and toast"),
+            (2, ""),  # empty: line fracs defined, gram fracs NULL
+            (3, "one two"),  # 2 tokens: top2 defined, dup5 NULL
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert rows[0]["dup_line_frac"] == pytest.approx(0.25)
+    # repeated chars: one extra copy of 'same line' (9 chars) of 9+9+9+5
+    assert rows[0]["dup_line_char_frac"] == pytest.approx(round(9 / 32, 6))
+    # top 2-gram 'spam and' (8 chars) x3 over 41 text chars
+    assert rows[1]["top2gram_char_frac"] == pytest.approx(round(24 / 41, 6))
+    assert rows[1]["dup5gram_char_frac"] == 0.0  # >=5 tokens, no dup 5-gram
+    assert rows[2]["top2gram_char_frac"] is None
+    assert rows[2]["dup_line_frac"] == 0.0  # one (empty) line, no dups
+    assert rows[3]["dup5gram_char_frac"] is None
+    assert rows[3]["top2gram_char_frac"] is not None
+
+
+def test_repetition_top_gram_tie_breaks_lexicographically(spark):
+    from ocr_spark.operators.textstats import with_repetition_stats
+
+    # 'bbb ccc' and 'aaa bbb' each occur once; smallest gram must win
+    df = spark.createDataFrame([(0, "aaa bbb ccc")], "doc_id long, text string")
+    (r,) = with_repetition_stats(df).collect()
+    # best run = 1, bestg = 'aaa bbb' (7 chars) over 11 text chars
+    assert r["top2gram_char_frac"] == pytest.approx(round(7 / 11, 6))
+
+
+def test_unigram_nll_matches_python_reference(spark):
+    """Exact add-1 unigram NLL vs a driver-side reference on a tiny
+    corpus (self-scored)."""
+    import math
+    from collections import Counter
+
+    from ocr_spark.operators.textstats import with_unigram_nll
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the dog ate the cat",
+        2: "rare words appear here",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r["id"]: r for r in with_unigram_nll(df).collect()}
+
+    def toks(s):
+        import re
+
+        return re.findall(r"[a-z]{3,}", s.lower())
+
+    counts = Counter(t for s in texts.values() for t in toks(s))
+    n, v = sum(counts.values()), len(counts)
+    for did, s in texts.items():
+        ts = toks(s)
+        want = -sum(
+            math.log((counts[t] + 1.0) / (n + v)) for t in ts
+        ) / len(ts)
+        assert got[did]["n_scored_tokens"] == len(ts)
+        assert got[did]["avg_nll"] == pytest.approx(round(want, 4))
+    # boilerplate-heavy docs score LOWER nll than rare-word docs
+    assert got[0]["avg_nll"] < got[2]["avg_nll"]
+
+
+def test_repetition_and_nll_stay_narrow(spark):
+    """Plan shape: repetition is pure JVM expressions with no shuffle;
+    the LM join broadcasts the counts table."""
+    from ocr_spark.operators.textstats import (
+        with_repetition_stats,
+        with_unigram_nll,
+    )
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (
+        with_repetition_stats(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+    plan2 = (
+        with_unigram_nll(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan2 and "Python" not in plan2
+
+
 def test_source_stats_dup_rate_and_quality(spark):
     from ocr_spark.operators.textstats import source_stats
 
