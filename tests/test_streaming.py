@@ -377,14 +377,18 @@ def test_incremental_neardup_replay_and_reingestion_idempotent(spark, tmp_path):
 
 
 def test_neardup_store_partitioned_and_probe_prunes(spark, tmp_path):
-    """The bands table is laid out by _pb = pmod(hash(bucket), N) at rest,
-    and the hook's probe filter reaches the parquet scan as a
-    PartitionFilter — the per-batch join reads only the partitions the
-    micro-batch's buckets hash into, not the whole accumulated store."""
+    """Append-only layout: immutable per-batch delta dirs partitioned by
+    _pb = pmod(hash(bucket), N), referenced by a tiny manifest — and the
+    hook's probe filter reaches the parquet scan as a PartitionFilter, so
+    the per-batch join reads only the partitions the micro-batch's
+    buckets hash into, not the whole accumulated store."""
+    import json
+
     from pyspark.sql import functions as F
 
     from ocr_spark.streaming.neardup_stream import (
-        BANDS_SUBDIR,
+        BAND_DELTAS,
+        MANIFEST,
         neardup_foreach_batch,
         read_neardup_state,
     )
@@ -394,15 +398,20 @@ def test_neardup_store_partitioned_and_probe_prunes(spark, tmp_path):
     store = str(tmp_path / "neardup_part")
     hook = neardup_foreach_batch(store, id_col="doc_id", threshold=0.5)
     hook(docs.filter("doc_id < 8"), 0)
+    hook(docs.filter("doc_id >= 8"), 1)
 
-    # at-rest layout: hive-style _pb=... partition dirs inside the snapshot
+    # at-rest layout: one delta per batch, hive _pb=... dirs inside each
     root = tmp_path / "neardup_part"
-    snap = root / _learned_state(root)["snapshot"] / BANDS_SUBDIR
-    pb_dirs = [p.name for p in snap.iterdir() if p.name.startswith("_pb=")]
-    assert pb_dirs, f"bands not partitioned at rest: {list(snap.iterdir())}"
+    man = json.loads(
+        (root / _learned_state(root)["snapshot"] / MANIFEST).read_text()
+    )
+    assert len(man["bands"]) == 2 and len(man["pairs"]) == 2  # O(batch) commits
+    delta0 = root / BAND_DELTAS / f"_delta={man['bands'][0]}"
+    pb_dirs = [p.name for p in delta0.iterdir() if p.name.startswith("_pb=")]
+    assert pb_dirs, f"bands not partitioned at rest: {list(delta0.iterdir())}"
 
-    # the probe shape the hook builds: store read + IN filter → the filter
-    # must reach the scan as a PartitionFilter (metadata-only pruning)
+    # the probe shape the hook builds: manifest read + IN filter → the
+    # filter must reach the scan as a PartitionFilter (metadata pruning)
     bands, _ = read_neardup_state(spark, store)
     some_pbs = [int(d.split("=")[1]) for d in pb_dirs[:2]]
     probe = bands.filter(F.col("_pb").isin(some_pbs))
@@ -411,11 +420,60 @@ def test_neardup_store_partitioned_and_probe_prunes(spark, tmp_path):
         ln for ln in plan.splitlines() if "PartitionFilters" in ln
     ]
     assert part_filter and "_pb" in part_filter[0], plan
-    # and the pruned read returns exactly those partitions' rows
-    assert probe.count() == bands.filter(F.col("_pb").isin(some_pbs)).count()
-    assert (
-        bands.select("_pb").distinct().count() >= len(pb_dirs) > 0
+    assert probe.count() > 0
+    assert bands.select("_pb").distinct().count() >= len(pb_dirs) > 0
+
+
+def test_neardup_store_compaction_preserves_state(spark, tmp_path):
+    """compact_neardup_store folds N deltas into one with byte-equal
+    (bands, pairs) content, keeps the replay-guard batch_id, and a
+    later micro-batch keeps working against the compacted store."""
+    import json
+
+    from ocr_spark.streaming.neardup_stream import (
+        MANIFEST,
+        compact_neardup_store,
+        neardup_foreach_batch,
+        read_neardup_state,
     )
+    from ocr_spark.streaming.extract_stream import _learned_state
+
+    docs = _neardup_docs(spark)
+    store = str(tmp_path / "neardup_compact")
+    hook = neardup_foreach_batch(store, id_col="doc_id", threshold=0.5)
+    hook(docs.filter("doc_id < 4"), 0)
+    hook(docs.filter("doc_id >= 4 AND doc_id < 8"), 1)
+    def _rowset(df):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.collect()
+        }
+
+    bands0, pairs0 = read_neardup_state(spark, store)
+    want_bands = _rowset(bands0)
+    want_pairs = _rowset(pairs0)
+    bid0 = _learned_state(tmp_path / "neardup_compact")["batch_id"]
+
+    compact_neardup_store(spark, store)
+    root = tmp_path / "neardup_compact"
+    state = _learned_state(root)
+    assert state["batch_id"] == bid0  # compaction is not an ingest
+    man = json.loads((root / state["snapshot"] / MANIFEST).read_text())
+    assert len(man["bands"]) == 1 and len(man["pairs"]) == 1
+    bands1, pairs1 = read_neardup_state(spark, store)
+    assert _rowset(bands1) == want_bands
+    assert _rowset(pairs1) == want_pairs
+
+    # ingestion continues against the compacted store
+    hook(docs.filter("doc_id >= 8"), 2)
+    from ocr_spark.operators.dedup import minhash_near_duplicates
+
+    _, pairs2 = read_neardup_state(spark, store)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in pairs2.collect()} == want
 
 
 def test_neardup_stream_end_to_end(spark, tmp_path):
