@@ -2268,7 +2268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_preprocess": _t9_preprocess,
         # text analysis
         "lang_id_counts": _lang_id_counts,
-        "doc_quality": _doc_quality,
+        "gopher_repetition": _gopher_repetition,
+        "unigram_nll": _unigram_nll,
         "bpe_token_counts": _bpe_token_counts,
         "pii_redaction": _pii_redaction,
         "source_stats": _source_stats,
@@ -2277,7 +2278,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational breadth
         "q1_pricing": _q1_pricing,
         "q3_nation_revenue": _q3_nation_revenue,
-        "q5_region_volume": _q5_region_volume,
         "q18_large_orders": _q18_large_orders,
         "w1_top_orders_per_customer": _w1_top_orders_per_customer,
     }
@@ -2327,13 +2327,13 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _KNN_SQL,
         "embedding_near_dup": _emb_near_dup_sql(),
         "lang_id_counts": _langid_sql(),
-        "doc_quality": _quality_sql(),
+        "gopher_repetition": _GOPHER_REPETITION_SQL,
+        "unigram_nll": _UNIGRAM_NLL_SQL,
         "pii_redaction": _pii_sql(),
         "source_stats": _source_stats_sql(),
         "training_shards": _SHARDS_SQL,
         "q1_pricing": _Q1_SQL,
         "q3_nation_revenue": _Q3_SQL,
-        "q5_region_volume": _Q5_SQL,
         "q18_large_orders": _Q18_SQL,
         "w1_top_orders_per_customer": _W1_SQL,
     }
@@ -2349,7 +2349,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     range_join_error_sessions; a11's pivot is the a5 rollup re-shaped;
     token_counts ⊂ source_stats' scoring; a12_distinct_users overlaps
     a5's grouping — both displaced in round 4 so the winnow near-dup
-    family gets driver-gate correctness rows).
+    family gets driver-gate correctness rows; doc_quality is the per-doc
+    disaggregation of source_stats' fused scoring and q5 repeats
+    q3/q18's broadcast-join-agg shape — displaced so the round-4
+    gopher_repetition / unigram_nll quality filters get gate rows, per
+    the newest-family-gets-gated rotation rule).
     Kept out of the driver's 50-row gate so every distinct operator family
     gets a recorded row there; run them with
     ``python tools/check_oracles.py --extended``."""
@@ -2369,8 +2373,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _fingerprints,
         "token_counts": _token_counts,
         "winnow_fingerprints": _winnow_fingerprints,
-        "gopher_repetition": _gopher_repetition,
-        "unigram_nll": _unigram_nll,
+        "doc_quality": _doc_quality,
+        "q5_region_volume": _q5_region_volume,
     }
 
 
@@ -2390,8 +2394,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "fingerprints": _FINGERPRINT_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
-        "gopher_repetition": _GOPHER_REPETITION_SQL,
-        "unigram_nll": _UNIGRAM_NLL_SQL,
+        "doc_quality": _quality_sql(),
+        "q5_region_volume": _Q5_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

@@ -58,6 +58,8 @@ HEADLINE = [
     "range_join_error_sessions",
     "lang_id_counts",
     "doc_quality",
+    "gopher_repetition",
+    "unigram_nll",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

@@ -178,7 +178,7 @@ def test_q5_broadcast_chain(spark):
     in this tree shuffles the fact table once per dimension."""
     import __spark_entry__ as e
 
-    plan = _plan(e.queries()["q5_region_volume"](spark, SF))
+    plan = _plan(e.extra_queries()["q5_region_volume"](spark, SF))
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
 
