@@ -1970,6 +1970,143 @@ FROM s GROUP BY shard ORDER BY shard
 """
 
 
+def _pack_summary(spark, sf_dir):
+    """Sequence-packing layout (GPT-style concat-and-cut sample packing):
+    per (shard, pack) document counts and starting-token totals. Exact
+    integer arithmetic (md5 shard + windowed running offset + integer
+    div), so the layout is a pure function of (ids, token counts) —
+    engines and cluster sizes agree bit-for-bit."""
+    from ocr_spark.operators.sharding import pack_summary
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_summary(docs, max_tokens=512, n_shards=8)
+
+
+_PACK_SUMMARY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 8 AS INT) AS shard,
+         CAST(len(regexp_extract_all(lower(text), '{WORD_RE}')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t
+)
+SELECT shard,
+       CAST(off // 512 AS INT) AS pack,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_id
+FROM o GROUP BY shard, off // 512
+"""
+
+
+_MIX_WEIGHTS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
+_MIX_BUDGET = 20_000
+
+
+def _mixture_summary(spark, sf_dir):
+    """Token-weighted corpus mixing: thresholds derived from a 20k-token
+    budget split 40/30/20/10 across sources, plus the achieved kept
+    docs/tokens — all exact integer math on both engines."""
+    from ocr_spark.operators.curation import mixture_summary
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return mixture_summary(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+def _mix_weights_case() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()
+    )
+    return f"CASE source {arms} ELSE 0 END"
+
+
+_MIXTURE_SUMMARY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '{WORD_RE}')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS total_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens
+  FROM t GROUP BY source
+),
+thr AS (
+  SELECT source, total_docs, total_tokens,
+         CAST(CASE WHEN total_tokens <= 0 THEN 0
+              ELSE least(10000,
+                         ({_MIX_BUDGET} * {_mix_weights_case()})
+                           // total_tokens)
+         END AS INT) AS thr_bps
+  FROM tot
+),
+kept AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+         CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+  FROM t JOIN thr USING (source)
+  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < thr_bps
+  GROUP BY source
+)
+SELECT thr.source, total_docs, total_tokens, thr_bps,
+       CAST(COALESCE(kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM thr LEFT JOIN kept USING (source)
+"""
+
+
+def _bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (same benchmark split as
+    `decontaminate`): the benchmark compiles into a 2^16-bit / 5-hash
+    bitset literal and the keep filter is a NARROW projection — no join
+    node at all. Deterministic positions (md5_mod of shingle-id:j), so
+    the oracle reproduces the bitset test exactly; false positives can
+    only shrink the keep set, never admit a contaminated doc."""
+    from ocr_spark.operators.dedup import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") < 20)
+    training = docs.filter(F.col("doc_id") >= 20)
+    return bloom_decontaminate(training, benchmark, max_overlap=0)
+
+
+def _bloom_pos_sql(s_expr: str, j: int) -> str:
+    return (
+        f"('0x' || substring(md5(CAST({s_expr} AS VARCHAR) || ':{j}'), 1, 8))"
+        f"::BIGINT % 65536"
+    )
+
+
+_BLOOM_DECONTAMINATE_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+bench AS (SELECT DISTINCT ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+          FROM sh WHERE doc_id < 20),
+pos AS (SELECT DISTINCT unnest([{", ".join(_bloom_pos_sql("s", j) for j in range(5))}]) AS p
+        FROM bench),
+train AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+          FROM sh WHERE doc_id >= 20),
+tp AS (SELECT doc_id, s, unnest([{", ".join(_bloom_pos_sql("s", j) for j in range(5))}]) AS p
+       FROM train),
+hitsh AS (
+  SELECT doc_id, s FROM tp JOIN pos USING (p)
+  GROUP BY doc_id, s HAVING count(*) = 5
+),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM hitsh GROUP BY doc_id)
+SELECT d.doc_id AS id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE COALESCE(h.n, 0) <= 0
+"""
+
+
 def _source_stats(spark, sf_dir):
     from ocr_spark.operators.textstats import source_stats
 
@@ -2375,6 +2512,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _winnow_fingerprints,
         "doc_quality": _doc_quality,
         "q5_region_volume": _q5_region_volume,
+        "mixture_summary": _mixture_summary,
+        "bloom_decontaminate": _bloom_decontaminate,
+        "pack_summary": _pack_summary,
     }
 
 
@@ -2396,6 +2536,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _WINNOW_SQL,
         "doc_quality": _quality_sql(),
         "q5_region_volume": _Q5_SQL,
+        "mixture_summary": _MIXTURE_SUMMARY_SQL,
+        "bloom_decontaminate": _BLOOM_DECONTAMINATE_SQL,
+        "pack_summary": _PACK_SUMMARY_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

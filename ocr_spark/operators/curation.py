@@ -112,3 +112,154 @@ def curate_corpus(
         .join(dropped, "id", "left_anti")
     )
     return stratified_sample(clean, quotas, strata_col="stratum", id_col="id")
+
+
+#: sampling granularity for mixture thresholds: md5 buckets in [0, 10000)
+#: give 0.01% quota resolution with exact integer cross-engine arithmetic.
+MIX_GRANULARITY = 10_000
+
+
+def mixture_thresholds(
+    df: DataFrame,
+    weights_bps: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source keep thresholds for token-weighted corpus mixing: given
+    target mixture WEIGHTS (basis points of the total token budget — the
+    "data mixture" every LM training run specifies per domain) and the
+    budget, derive the deterministic sampling threshold that hits each
+    source's target token count in expectation:
+
+        target(src)  = budget · w_bps(src) / 10000
+        thr_bps(src) = min(10000, ⌊10000 · target / tokens(src)⌋)
+                     = min(10000, ⌊budget · w_bps(src) / tokens(src)⌋)
+
+    A source with fewer tokens than its target keeps everything
+    (thr = 10000) — upsampling/epoch-repeat is the loader's job, not the
+    sampler's. Unlisted sources get weight 0 (dropped).
+
+    All arithmetic is exact: one long multiply (``budget × w_bps`` must
+    stay under 2⁶³ — raises otherwise) and one integer ``div``, both
+    reproduced verbatim by the SQL oracle. Returns
+    (source, total_docs, total_tokens, thr_bps).
+
+    Shape at 100 TB: one map-side-combined hash aggregate over
+    (source, token-count) — the only pass over the corpus — yielding a
+    rows-per-source frame that broadcasts everywhere downstream."""
+    for src, w in weights_bps.items():
+        if w < 0 or budget_tokens * w >= 2**63:
+            raise ValueError(f"weight out of range for {src!r}: {w}")
+    totals = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(tokens(text_col)).alias("_n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum("_n_tok").cast("long").alias("total_tokens"),
+        )
+    )
+    w_map = F.create_map(
+        *[F.lit(x) for kv in weights_bps.items() for x in kv]
+    )
+    num = (
+        F.lit(int(budget_tokens)).cast("long")
+        * F.coalesce(w_map[F.col("source")], F.lit(0)).cast("long")
+    )
+    return (
+        totals.withColumn("_mix_num", num)
+        .withColumn(
+            "thr_bps",
+            F.when(F.col("total_tokens") <= 0, F.lit(0)).otherwise(
+                F.least(
+                    F.lit(MIX_GRANULARITY).cast("long"),
+                    F.expr("_mix_num div total_tokens"),
+                )
+            ).cast("int"),
+        )
+        .drop("_mix_num")
+    )
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights_bps: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic token-weighted mixture sampling: keep a document iff
+    ``md5(id) mod 10000 < thr_bps(source)`` with thresholds from
+    :func:`mixture_thresholds`. Like :func:`~ocr_spark.operators.dedup.
+    stratified_sample` (same md5 bucket primitive) but quotas are derived
+    from a TOKEN budget instead of given as row percentages — the actual
+    contract of a training-mix spec.
+
+    Seed-, partitioning- and cluster-size-independent: the kept set is a
+    pure function of (id, source totals, weights). Shape: the thresholds
+    frame (rows = #sources) broadcasts; the filter is a narrow probe —
+    no shuffle on the corpus side."""
+    from ocr_spark.functions.hashing import md5_mod
+
+    thr = mixture_thresholds(
+        df, weights_bps, budget_tokens, source_col, text_col
+    ).select(F.col("source").alias(source_col), "thr_bps")
+    bucket = md5_mod(F.col(id_col).cast("string"), MIX_GRANULARITY)
+    return (
+        df.join(F.broadcast(thr), source_col, "inner")
+        .filter(bucket < F.col("thr_bps"))
+        .drop("thr_bps")
+    )
+
+
+def mixture_summary(
+    df: DataFrame,
+    weights_bps: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Observability for a mixture run: per source, the totals, the
+    derived threshold, and the ACHIEVED kept docs/tokens — the table a
+    pipeline operator reads before committing a mix. Two aggregates over
+    one staged token projection."""
+    from ocr_spark.functions.hashing import md5_mod
+
+    thr = mixture_thresholds(
+        df, weights_bps, budget_tokens, source_col, text_col
+    )
+    staged = df.select(
+        F.col(source_col).alias("source"),
+        F.size(tokens(text_col)).alias("_n_tok"),
+        md5_mod(F.col(id_col).cast("string"), MIX_GRANULARITY).alias("_b"),
+    )
+    kept = (
+        staged.join(
+            F.broadcast(thr.select("source", "thr_bps")), "source", "inner"
+        )
+        .filter(F.col("_b") < F.col("thr_bps"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("_n_tok").cast("long").alias("kept_tokens"),
+        )
+    )
+    return (
+        thr.join(kept, "source", "left")
+        .select(
+            "source",
+            "total_docs",
+            "total_tokens",
+            "thr_bps",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0).cast("long")).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("source")
+    )

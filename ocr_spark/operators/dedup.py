@@ -32,6 +32,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from ocr_spark.functions.explode import explode_nonnull, posexplode_nonnull
+from ocr_spark.functions.hashing import md5_mod
 from ocr_spark.operators.textstats import WORD_RE, tokens
 
 # ---------------------------------------------------------------------------
@@ -601,6 +602,102 @@ def decontaminate(
         .select("id", F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
         .filter(F.col("n_overlap") <= max_overlap)
     )
+
+
+#: Bloom decontamination defaults: 2¹⁶ bits / 5 hashes ≈ 0.05% FPR at
+#: 4k benchmark shingles (m/n = 16 bits per element, k = 5 near-optimal).
+BLOOM_M_BITS = 1 << 16
+BLOOM_N_HASH = 5
+
+
+def _bloom_pos_py(shingle_id: int, j: int, m_bits: int) -> int:
+    """Python mirror of the position recipe (hashing.py's md5_mod contract):
+    position j of shingle s = md5_mod(f"{s}:{j}", m_bits)."""
+    h = hashlib.md5(f"{shingle_id}:{j}".encode()).hexdigest()[:8]
+    return int(h, 16) % m_bits
+
+
+def build_bloom_bitset(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    n_hash: int = BLOOM_N_HASH,
+    m_bits: int = BLOOM_M_BITS,
+) -> list[int]:
+    """Bloom bitset over the benchmark's distinct shingle ids, packed into
+    ``m_bits/64`` signed-long words (word ``p div 64``, bit ``p mod 64``).
+    EAGER: collects the benchmark shingle ids to the driver — the build
+    side of decontamination is an eval set, small by nature (same
+    documented eagerness as knn_join's query side); the training corpus
+    is never collected."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64: {m_bits}")
+    sh_ids = shingle_ids_from_tokens(F.col("_bl_toks"), k)
+    bench_sh = explode_nonnull(
+        benchmark.select(tokens(text_col).alias("_bl_toks")), sh_ids, "shingle"
+    ).distinct()
+    words = [0] * (m_bits // 64)
+    for row in bench_sh.collect():
+        for j in range(n_hash):
+            p = _bloom_pos_py(row[0], j, m_bits)
+            words[p >> 6] |= 1 << (p & 63)
+    # pack as SIGNED longs (Spark array<long> literals): bit 63 set → negative
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_overlap: int = 0,
+    n_hash: int = BLOOM_N_HASH,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """:func:`decontaminate` with the benchmark side compiled into a Bloom
+    bitset instead of a broadcast join — the 100 TB shape when even the
+    broadcast probe matters: the filter is a NARROW projection (no join
+    node at all; the bitset rides into each task as an 8 KiB array<long>
+    literal), so decontamination fuses into whatever scan already reads
+    the text.
+
+    One-sided error only: a shingle genuinely in the benchmark always
+    tests positive (no false negatives — every contaminated document is
+    flagged), while false positives (prob. ≈ (1−e^{−kn/m})^k) can only
+    INFLATE ``n_overlap``, so the returned keep set is a subset of the
+    exact operator's. Deterministic given (k, n_hash, m_bits): position j
+    of shingle s is ``md5_mod(concat(s, ':', j), m_bits)`` — the repo's
+    cross-engine hash recipe — so the SQL oracle reproduces the bitset
+    test bit-for-bit (Bloom's 1970 scheme; double-hashing variants are a
+    micro-opt this deliberately skips for oracle clarity).
+
+    Returns (id, n_overlap) for documents with ``n_overlap ≤ max_overlap``
+    where n_overlap counts the doc's shingle OCCURRENCES that hit the
+    filter (same occurrence semantics as :func:`decontaminate`)."""
+    # explicit long element type: a small-valued literal list would infer
+    # array<int> and bit_get would then reject positions ≥ 32
+    words = F.lit(
+        build_bloom_bitset(benchmark, text_col, k, n_hash, m_bits)
+    ).cast("array<long>")
+
+    def bloom_hit(s: Column) -> Column:
+        hit = F.lit(True)
+        for j in range(n_hash):
+            p = md5_mod(F.concat(s.cast("string"), F.lit(f":{j}")), m_bits)
+            word = F.element_at(words, F.shiftrightunsigned(p, 6).cast("int") + 1)
+            hit = hit & (F.getbit(word, F.pmod(p, F.lit(64)).cast("int")) == 1)
+        return hit
+
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_bl_toks")
+    ).select("id", shingle_ids_from_tokens(F.col("_bl_toks"), k).alias("sh"))
+    return staged.select(
+        "id",
+        F.size(F.filter(F.coalesce("sh", F.array()), bloom_hit))
+        .cast("long")
+        .alias("n_overlap"),
+    ).filter(F.col("n_overlap") <= max_overlap)
 
 
 def stratified_sample(

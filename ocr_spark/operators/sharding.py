@@ -61,6 +61,83 @@ def shard_histogram(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences ("packs")
+    — GPT-style sample packing, where the loader concatenates a shard's
+    documents in order and cuts sequences every ``max_tokens`` tokens.
+    A document's pack is the sequence its FIRST token lands in:
+
+        shard      = md5(id) mod n_shards          (stable placement)
+        offset(d)  = Σ n_tokens of earlier docs in the shard (order: id)
+        pack       = offset(d) div max_tokens
+
+    Exact integer arithmetic end-to-end, so the layout is a pure function
+    of (ids, token counts) — reruns, engines and cluster sizes agree.
+    Documents may straddle a pack boundary (the concat-and-cut
+    convention); a pack's token count therefore varies around the budget
+    instead of under-filling it — padding waste is zero by construction,
+    which is why training pipelines pack this way rather than bin-packing
+    whole documents.
+
+    Shape at 100 TB: one narrow token count, then ONE window per shard
+    (the running sum) — n_shards-way parallel, each shard's sort bounded
+    by corpus/n_shards; no driver state, no UDF. Returns
+    (id, shard, pack, n_tokens, offset)."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive: {max_tokens}")
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.textstats import tokens
+
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        shard_id(F.col(id_col), n_shards).alias("shard"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return staged.select(
+        "id",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")).alias(
+            "offset"
+        ),
+    ).withColumn("pack", F.expr(f"offset div {int(max_tokens)}").cast("int"))
+
+
+def pack_summary(
+    df: DataFrame,
+    max_tokens: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(shard, pack) layout stats — the observability query for a
+    packing run: documents per pack and the tokens STARTING in each pack
+    (boundary-straddling tokens count toward the pack they start in).
+    One aggregate over :func:`pack_sequences`."""
+    return (
+        pack_sequences(df, max_tokens, n_shards, id_col, text_col)
+        .groupBy("shard", "pack")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.min("id").alias("first_id"),
+        )
+        .orderBy("shard", "pack")
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

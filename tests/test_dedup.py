@@ -236,6 +236,138 @@ def test_stratified_sample_deterministic_and_bounded(spark):
     assert abs(by_src["src1"] / 1000 - 0.70) < 0.05
 
 
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """The Bloom variant's one-sided error: every exact-contaminated doc
+    is flagged (keep set ⊆ exact keep set), and at the default 2¹⁶-bit /
+    5-hash sizing the tiny fixture has no false positives either."""
+    from ocr_spark.operators.dedup import bloom_decontaminate, decontaminate
+
+    bench = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, FAR)], ["doc_id", "text"]
+    )
+    bloom_kept = {r["id"] for r in bloom_decontaminate(train, bench).collect()}
+    exact_kept = {r["id"] for r in decontaminate(train, bench).collect()}
+    assert bloom_kept <= exact_kept  # false positives only shrink the keep set
+    assert bloom_kept == {2}
+
+    # audit mode: bloom occurrence counts dominate the exact counts
+    exact = {
+        r["id"]: r["n_overlap"]
+        for r in decontaminate(train, bench, max_overlap=10**9).collect()
+    }
+    bloom = {
+        r["id"]: r["n_overlap"]
+        for r in bloom_decontaminate(train, bench, max_overlap=10**9).collect()
+    }
+    assert set(bloom) == set(exact)
+    assert all(bloom[i] >= exact[i] for i in exact)
+    assert bloom[0] == exact[0] > 0  # true hits all present
+
+
+def test_bloom_decontaminate_plan_is_narrow(spark):
+    """The whole point of the Bloom shape: NO join node, no shuffle, no
+    Python — the bitset rides in as a literal and the filter fuses into
+    the scan's projection."""
+    from ocr_spark.operators.dedup import bloom_decontaminate
+
+    bench = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    train = spark.createDataFrame([(0, FAR)], ["doc_id", "text"])
+    plan = (
+        bloom_decontaminate(train, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_bloom_bitset_packing_and_validation(spark):
+    from ocr_spark.operators.dedup import (
+        _bloom_pos_py,
+        build_bloom_bitset,
+        bloom_decontaminate,
+    )
+
+    bench = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    words = build_bloom_bitset(bench)
+    assert len(words) == (1 << 16) // 64
+    assert all(-(1 << 63) <= w < (1 << 63) for w in words)  # signed longs
+    assert any(w != 0 for w in words)
+    assert 0 <= _bloom_pos_py(12345, 0, 1 << 16) < (1 << 16)
+    with pytest.raises(ValueError):
+        build_bloom_bitset(bench, m_bits=100)  # not a multiple of 64
+    # empty benchmark: all-zero bitset, nothing flagged
+    empty = bench.filter("doc_id < 0")
+    train = spark.createDataFrame([(0, BASE)], ["doc_id", "text"])
+    assert bloom_decontaminate(train, empty).count() == 1
+
+
+def test_mixture_thresholds_exact_math(spark):
+    """Hand-computed thresholds: thr = min(10000, budget·w_bps div
+    tokens(src)); a source under its target keeps everything; an
+    unlisted source gets 0."""
+    from ocr_spark.operators.curation import mixture_thresholds
+
+    # src0: 4 docs x 5 tokens = 20; src1: 2 docs x 5 = 10; src2 unlisted
+    five = "alpha bravo charlie delta echo"
+    rows = [(i, five, "src0") for i in range(4)]
+    rows += [(i + 10, five, "src1") for i in range(2)]
+    rows += [(20, five, "src2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    thr = {
+        r["source"]: r
+        for r in mixture_thresholds(
+            df, {"src0": 5000, "src1": 5000}, budget_tokens=8
+        ).collect()
+    }
+    # src0 target = 8*0.5 = 4 tokens of 20 -> thr = 8*5000 div 20 = 2000
+    assert thr["src0"]["thr_bps"] == 2000
+    assert thr["src0"]["total_tokens"] == 20
+    # src1 target = 4 of 10 -> 4000
+    assert thr["src1"]["thr_bps"] == 4000
+    assert thr["src2"]["thr_bps"] == 0
+    # budget >> corpus: capped at keep-everything
+    thr_all = {
+        r["source"]: r["thr_bps"]
+        for r in mixture_thresholds(
+            df, {"src0": 5000, "src1": 5000}, budget_tokens=10**6
+        ).collect()
+    }
+    assert thr_all["src0"] == thr_all["src1"] == 10000
+    with pytest.raises(ValueError):
+        mixture_thresholds(df, {"src0": -1}, 10)
+    with pytest.raises(ValueError):
+        mixture_thresholds(df, {"src0": 10**10}, 10**10)
+
+
+def test_mix_corpus_hits_token_targets(spark):
+    """Sampling accuracy at 2000 docs: achieved kept tokens per source
+    land within 10% of the target; the kept set is deterministic."""
+    from ocr_spark.operators.curation import mix_corpus, mixture_summary
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    rows = [
+        (i, " ".join(words[: 3 + i % 4]), f"src{i % 2}") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    budget = 4000
+    weights = {"src0": 7000, "src1": 3000}  # 70/30 mix
+    summary = {
+        r["source"]: r
+        for r in mixture_summary(df, weights, budget).collect()
+    }
+    for src, w in weights.items():
+        target = budget * w / 10000
+        got = summary[src]["kept_tokens"]
+        assert abs(got - target) / target < 0.10, (src, got, target)
+    a = {r["doc_id"] for r in mix_corpus(df, weights, budget).collect()}
+    b = {r["doc_id"] for r in mix_corpus(df, weights, budget).collect()}
+    assert a == b and len(a) == sum(s["kept_docs"] for s in summary.values())
+    # mix keeps original columns (minus the internal threshold)
+    cols = mix_corpus(df, weights, budget).columns
+    assert set(cols) == {"doc_id", "text", "source"}
+
+
 # ---------------------------------------------------------------------------
 # Cluster resolution (pairs -> connected components -> keeper set).
 # ---------------------------------------------------------------------------

@@ -94,3 +94,86 @@ def test_max_records_per_file_bounds_files(docs, tmp_path):
     write_training_shards(docs, str(out), 1, max_records_per_file=10)
     files = [p for p in (out / "shard=0").iterdir() if p.suffix == ".parquet"]
     assert len(files) >= N // 10
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-cut sample packing).
+# ---------------------------------------------------------------------------
+
+
+def _expected_packing(rows, max_tokens, n_shards):
+    """Driver-side reference: shard by md5, order by id, running offset."""
+    import re
+
+    toks = {i: len(re.findall(r"[a-z]{3,}", t.lower())) for i, t in rows}
+    out = {}
+    by_shard = {}
+    for i, _ in rows:
+        by_shard.setdefault(expected_shard(i, n_shards), []).append(i)
+    for shard, ids in by_shard.items():
+        off = 0
+        for i in sorted(ids):
+            out[i] = (shard, off, toks[i], off // max_tokens)
+            off += toks[i]
+    return out
+
+
+def test_pack_sequences_matches_local_reference(spark):
+    from ocr_spark.operators.sharding import pack_sequences
+
+    rows = [
+        (i, " ".join(f"tok{chr(97 + j)}" for j in range(1 + i % 7)))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: (r["shard"], r["offset"], r["n_tokens"], r["pack"])
+        for r in pack_sequences(df, max_tokens=10, n_shards=4).collect()
+    }
+    assert got == _expected_packing(rows, 10, 4)
+
+
+def test_pack_sequences_covers_every_doc_once(spark):
+    from ocr_spark.operators.sharding import pack_sequences, pack_summary
+
+    rows = [(i, "alpha bravo charlie " * (1 + i % 5)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = pack_sequences(df, max_tokens=32, n_shards=8).collect()
+    assert sorted(r["id"] for r in packed) == list(range(300))
+    # packs are contiguous from 0 within each shard; a doc's pack is where
+    # its first token lands
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        packs = sorted({r["pack"] for r in rs})
+        assert packs == list(range(len(packs))), shard
+        for r in rs:
+            assert r["pack"] == r["offset"] // 32
+    summary = pack_summary(df, max_tokens=32, n_shards=8).collect()
+    assert sum(r["n_docs"] for r in summary) == 300
+    assert sum(r["pack_tokens"] for r in summary) == sum(
+        r["n_tokens"] for r in packed
+    )
+
+
+def test_pack_sequences_plan_one_shuffle_no_python(spark):
+    """One Exchange (the per-shard window partitioning), no Python, no
+    extra sort beyond the window's."""
+    from ocr_spark.operators.sharding import pack_sequences
+
+    df = spark.createDataFrame([(0, "alpha bravo")], ["doc_id", "text"])
+    plan = (
+        pack_sequences(df, max_tokens=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan and "Python" not in plan
+
+
+def test_pack_sequences_validates_budget(spark):
+    from ocr_spark.operators.sharding import pack_sequences
+
+    df = spark.createDataFrame([(0, "alpha")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        pack_sequences(df, max_tokens=0)
