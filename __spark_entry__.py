@@ -2491,6 +2491,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q3/q18's broadcast-join-agg shape — displaced so the round-4
     gopher_repetition / unigram_nll quality filters get gate rows, per
     the newest-family-gets-gated rotation rule).
+
+    Also holds round-4 operator families added AFTER the gate rotation —
+    mixture_summary (token-weighted corpus mixing), bloom_decontaminate
+    (narrow Bloom-bitset decontamination), pack_summary (sequence
+    packing) — all fully oracle-backed and rotation candidates for the
+    next round.
     Kept out of the driver's 50-row gate so every distinct operator family
     gets a recorded row there; run them with
     ``python tools/check_oracles.py --extended``."""

@@ -99,12 +99,24 @@ def measure(cores: int, inp: str, sink: str, runs: int) -> dict:
 
 
 def main() -> int:
+    global SMALL, LARGE
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--stage-runs", type=int, default=2)
     ap.add_argument("--convs", type=int, default=6000)
     ap.add_argument("--mean-turns", type=int, default=50)
+    ap.add_argument("--small", type=int, default=SMALL,
+                    help="N task slots (the small size)")
+    ap.add_argument("--large", type=int, default=LARGE,
+                    help="4N task slots (the large size)")
+    ap.add_argument("--json-out", default=None,
+                    help="override BENCH/scaling.json (secondary pairs)")
+    ap.add_argument("--no-md", action="store_true",
+                    help="don't regenerate BENCH/BASELINE.md (secondary pairs)")
     args = ap.parse_args()
+    SMALL, LARGE = args.small, args.large
+    if LARGE != 4 * SMALL:
+        raise SystemExit("--large must be 4x --small (the N-vs-4N rule)")
 
     inp = "/tmp/scale_transcripts"
     if not pathlib.Path(inp, "part-0000.parquet").exists():
@@ -149,7 +161,11 @@ def main() -> int:
     }
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "scaling.json").write_text(json.dumps(report, indent=1))
+    json_path = (
+        pathlib.Path(args.json_out) if args.json_out
+        else bench_dir / "scaling.json"
+    )
+    json_path.write_text(json.dumps(report, indent=1))
 
     def verdict(e):
         return "PASS" if e >= 0.8 else "FAIL"
@@ -201,7 +217,8 @@ work + one hash shuffle; see SURVEY.md §4.
 
 Regenerate with `python tools/bench_scaling.py`.
 """
-    (bench_dir / "BASELINE.md").write_text(md)
+    if not args.no_md:
+        (bench_dir / "BASELINE.md").write_text(md)
     print(json.dumps(report))
     return 0 if report["pass"] else 1
 

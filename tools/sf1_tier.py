@@ -28,11 +28,13 @@ sys.path.insert(0, str(REPO))
 DOC_QUERIES = [
     "exact_dedup", "minhash_near_dup", "jaccard_near_dup", "dedup_clusters",
     "simhash_near_dup", "decontaminate", "stratified_sample", "curate_corpus",
-    "winnow_near_dup", "winnow_containment", "lang_id_counts", "doc_quality",
+    "winnow_near_dup", "winnow_containment", "lang_id_counts",
     "bpe_token_counts", "pii_redaction", "source_stats", "training_shards",
+    "gopher_repetition", "unigram_nll",
     # extras (need --extended)
     "minhash_signatures", "simhash", "dedup_corpus", "fingerprints",
-    "token_counts", "winnow_fingerprints", "doc_tf_embeddings",
+    "token_counts", "winnow_fingerprints", "doc_tf_embeddings", "doc_quality",
+    "mixture_summary", "bloom_decontaminate", "pack_summary",
 ]
 SIM_QUERIES = [
     "ann_cosine_topk", "ann_lsh_topk", "ivf_topk", "knn_join",
