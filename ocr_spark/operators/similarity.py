@@ -629,6 +629,7 @@ def embedding_near_duplicates(
     dim: int | None = None,
     n_tables: int = 1,
     max_bucket_size: int | None = None,
+    strategy: str = "grouped",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucketing + exact
     verification. Only same-bucket pairs are scored; ``n_planes`` trades
@@ -638,26 +639,47 @@ def embedding_near_duplicates(
     1-(1-p^planes)^tables at tables× the bucketing cost. Returns
     (id_a, id_b, cos) with cos ≥ threshold.
 
-    Physical shape: bucket SELF-JOIN with per-row norms hoisted into the
-    narrow stage — deliberately NOT the posting-list pattern the skinny
-    jaccard/minhash/simhash members use. A posting list materializes the
-    bucket's member array per row during pair enumeration, which is fine
-    for 8-byte ids or 16-long signatures but catastrophic for embeddings:
-    a 2,500-member bucket of 64-dim vectors is a ~1.3 MB array duplicated
-    into EVERY exploded member row (measured: shuffle-server OOM on the
-    sf1 tier's hot bucket). The self-join instead shuffles each vector
-    once per side per table and STREAMS the pair enumeration, so task
-    memory is O(bucket member), not O(bucket²) or O(bucket × members').
+    Two physical strategies, identical results (pytest-pinned equality):
+
+    ``grouped`` (default): one shuffle groups each bucket into an Arrow
+    batch and a pandas UDF scores the bucket's pair block with numpy —
+    vectorized over PAIRS but folding sequentially over DIMENSIONS
+    (``acc += V[:,j] * row_j`` is the same IEEE mul-then-add, in the same
+    index order, as the JVM ``zip_with``/``aggregate`` fold and DuckDB's
+    ``list_inner_product``), so raw cosines are BIT-IDENTICAL to the
+    streamed path; the exact ``round(·, 6)``/threshold/distinct stays
+    JVM-side on the UDF's conservative survivor superset (raw ≥
+    threshold − 1e-6, wider than any HALF_UP rounding step). Pair blocks
+    are evaluated in row chunks of ~5M cells so task memory is
+    O(chunk × members), never O(members²); the whole bucket's vectors do
+    materialize in the worker (the ``applyInPandas`` contract), which is
+    what ``max_bucket_size`` bounds — REQUIRED at corpus scale. Replaces
+    ~O(candidate pairs) interpreted higher-order-function evaluations
+    (CodegenFallback, ~µs each) with dim× vectorized array ops:
+    measured 231.5 → 5.4 s warm / 12.0 s cold on the sf1 tier (20k×64,
+    8 buckets, ~25M candidates), oracle-hash-identical.
+
+    ``streamed``: bucket SELF-JOIN with per-row norms hoisted into the
+    narrow stage. Shuffles each vector once per side per table and
+    STREAMS pair enumeration, so task memory is O(bucket member) with NO
+    cap — the fallback when buckets are pathological and recall loss
+    from capping is unacceptable. Costs one interpreted 2·dim-op fold
+    per candidate pair. (A posting list — the skinny jaccard/minhash
+    pattern — is catastrophic here: a 2,500-member bucket of 64-dim
+    vectors is ~1.3 MB duplicated into every exploded row; measured
+    shuffle-server OOM on the sf1 hot bucket.)
+
     ``max_bucket_size`` is the family's hot-bucket cap: a degenerate
     bucket (mass-duplicated embedding) would emit n² pairs; over-cap
-    buckets are dropped via a window count on the already-shuffled bucket
-    key (no extra Exchange) before the join (documented recall trade-off,
-    inert at oracle scale).
+    buckets are dropped whole before pair enumeration in BOTH strategies
+    (documented recall trade-off, inert at oracle scale).
 
     Pass ``dim`` explicitly where known (the embedding width is part of the
     table contract) — it keeps the call plan-only. When omitted, ONE probe
     job samples a non-null vector; an empty/all-null input yields an empty
     result instead of a TypeError."""
+    if strategy not in ("grouped", "streamed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     if dim is None:
         probe = (
             df.filter(F.col(vec_col).isNotNull()).select(vec_col).head(1)
@@ -685,6 +707,18 @@ def embedding_near_duplicates(
         ]
     )
     from ocr_spark.functions.explode import explode_nonnull
+
+    if strategy == "grouped":
+        bucketed = explode_nonnull(
+            df,
+            buckets,
+            "bucket",
+            F.col(id_col).alias("id"),
+            _as_double(vec_col).alias("vd"),
+        )
+        return _grouped_bucket_pairs(
+            bucketed, df.schema[id_col].dataType, threshold, max_bucket_size
+        )
 
     # the bucket array is n_tables × n_planes dot products per row —
     # explode_nonnull only (see functions/explode.py)
@@ -719,6 +753,101 @@ def embedding_near_duplicates(
             F.col("b.id").alias("id_b"),
             cos.alias("cos"),
         )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
+
+
+def _grouped_bucket_pairs(
+    bucketed: DataFrame,
+    id_type,
+    threshold: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Score one LSH bucket's pair block per Arrow group (see
+    ``embedding_near_duplicates`` strategy='grouped').
+
+    Bit-identity contract: every float op replicates the streamed path's
+    scalar sequence — norms fold ``acc + x·x`` in index order, dots fold
+    ``acc + aᵢ·bᵢ`` in index order (one vectorized mul-then-add per
+    dimension IS that fold, elementwise), cosine is one mul (nₐ·n_b) then
+    one div. numpy float64 elementwise ops are IEEE-754 correctly rounded,
+    so raw cosines equal the JVM higher-order-fold bit-for-bit; the exact
+    HALF_UP ``round(·, 6)`` + threshold + distinct run JVM-side on the
+    survivor superset (raw ≥ threshold − 1e-6). Pair ordering: rows are
+    sorted by id inside the group (UTF-8/codepoint order agree, and
+    numeric order is numeric), so upper-triangle ⇔ ``id_a < id_b`` exactly
+    as the streamed join's predicate."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cos_raw", DoubleType()),
+        ]
+    )
+    guard = threshold - 1e-6
+    cap = max_bucket_size
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2 or (cap is not None and m > cap):
+            return pd.DataFrame(
+                {
+                    "id_a": pdf["id"][:0],
+                    "id_b": pdf["id"][:0],
+                    "cos_raw": pd.Series([], dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values("id", kind="mergesort", ignore_index=True)
+        ids = pdf["id"].to_numpy()
+        V = np.vstack(pdf["vd"].to_numpy())
+        d = V.shape[1]
+        acc = np.zeros(m)
+        for j in range(d):
+            acc += V[:, j] * V[:, j]
+        ra, rb, rc = [], [], []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            norms = np.sqrt(acc)
+            # chunk the pair block's rows: task memory O(chunk × m), not O(m²)
+            chunk = max(1, 5_000_000 // m)
+            for i0 in range(0, m, chunk):
+                i1 = min(i0 + chunk, m)
+                block = np.zeros((i1 - i0, m))
+                for j in range(d):
+                    block += V[i0:i1, j : j + 1] * V[None, :, j]
+                cos = block / (norms[i0:i1, None] * norms[None, :])
+                rows, cols = np.nonzero(cos >= guard)
+                keep = cols > rows + i0
+                rows, cols = rows[keep], cols[keep]
+                if rows.size:
+                    ra.append(ids[rows + i0])
+                    rb.append(ids[cols])
+                    rc.append(cos[rows, cols])
+        if not ra:
+            return pd.DataFrame(
+                {
+                    "id_a": pdf["id"][:0],
+                    "id_b": pdf["id"][:0],
+                    "cos_raw": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(ra),
+                "id_b": np.concatenate(rb),
+                "cos_raw": np.concatenate(rc),
+            }
+        )
+
+    return (
+        bucketed.groupBy("bucket")
+        .applyInPandas(score, out_schema)
+        .select("id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .distinct()
     )

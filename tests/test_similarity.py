@@ -179,6 +179,41 @@ def test_embedding_near_dup_explicit_dim_matches_probed(vectors):
     assert probed == explicit
 
 
+def test_embedding_near_dup_grouped_matches_streamed_bitwise(vectors):
+    """The grouped (pandas-per-bucket) strategy must reproduce the streamed
+    self-join BIT-for-bit — same pairs AND same cos doubles — including
+    when the hot-bucket cap partially fires and across multiple tables
+    (the sequential-over-dims numpy fold is the same IEEE op sequence as
+    the JVM zip_with/aggregate fold)."""
+    df, _ = vectors
+    for kw in (
+        dict(threshold=0.9, n_planes=4),
+        dict(threshold=0.3, n_planes=5, n_tables=2, max_bucket_size=20),
+    ):
+        streamed = sorted(
+            (r["id_a"], r["id_b"], r["cos"])
+            for r in embedding_near_duplicates(
+                df, strategy="streamed", **kw
+            ).collect()
+        )
+        grouped = sorted(
+            (r["id_a"], r["id_b"], r["cos"])
+            for r in embedding_near_duplicates(
+                df, strategy="grouped", **kw
+            ).collect()
+        )
+        assert grouped == streamed
+        assert streamed  # the case must actually produce pairs
+
+
+def test_embedding_near_dup_rejects_unknown_strategy(vectors):
+    df, _ = vectors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        embedding_near_duplicates(df, strategy="psychic")
+
+
 def test_hyperplanes_deterministic():
     a = hyperplanes(8, 4, seed=7)
     b = hyperplanes(8, 4, seed=7)
