@@ -723,14 +723,17 @@ FROM documents GROUP BY md5(text)
 
 
 def _minhash_signatures(spark, sf_dir):
+    from ocr_spark.functions.explode import posexplode_nonnull
     from ocr_spark.operators.dedup import minhash_signatures
 
     sigs = minhash_signatures(
         _t(spark, sf_dir, "documents"), n_hashes=16, k=3
     )
-    return sigs.select(
-        "id", F.posexplode("signature").alias("seed", "minhash")
-    )
+    # posexplode_nonnull, NOT a bare posexplode: the inferred size()>0
+    # filter under an inner Generate re-evaluates the fused signature
+    # aggregate once per OUTPUT row (functions/explode.py; measured
+    # 124.6 -> ~45 s at the sf1 tier for this very query)
+    return posexplode_nonnull(sigs, "signature", "seed", "minhash", "id")
 
 
 # The 2-universal family's (i, aᵢ, bᵢ) coefficients enter the oracle as a
@@ -2010,6 +2013,59 @@ _MIX_WEIGHTS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
 _MIX_BUDGET = 20_000
 
 
+def _quality_classify(spark, sf_dir):
+    """Model-based quality filter: the shipped logistic-regression logit
+    (hashed-TF features, weights trained in-repo by tools/train_quality.py)
+    and its keep decision per document — no transcendental anywhere (the
+    boundary is logit >= 0), so the oracle reproduces the score exactly."""
+    from ocr_spark.operators.curation import classify_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return classify_quality(docs)
+
+
+def _quality_classify_sql() -> str:
+    from ocr_spark.operators.curation import load_quality_weights
+
+    m = load_quality_weights()
+    dim = int(m["dim"])
+    w = "[" + ", ".join(repr(float(x)) for x in m["weights"]) + "]::DOUBLE[]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS t
+  FROM documents
+),
+bc AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % {dim} AS bkt,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM toks GROUP BY doc_id, bkt
+),
+grid AS (
+  SELECT d.doc_id, gs.i FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS i) gs
+),
+cnt AS (
+  SELECT g.doc_id, g.i, COALESCE(bc.c, 0.0) AS c
+  FROM grid g LEFT JOIN bc ON bc.doc_id = g.doc_id AND bc.bkt = g.i
+),
+arr AS (SELECT doc_id, list(c ORDER BY i) AS cnts FROM cnt GROUP BY doc_id),
+emb AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN cnts
+              ELSE list_transform(cnts, x -> x / n) END AS e
+  FROM (SELECT doc_id, cnts,
+               sqrt(list_sum(list_transform(cnts, x -> x * x))) AS n
+        FROM arr)
+),
+sc AS (
+  SELECT doc_id,
+         ROUND(list_inner_product(e, {w}) + {float(m["bias"])!r}, 6) AS logit
+  FROM emb
+)
+SELECT doc_id AS id, logit, logit >= 0 AS keep FROM sc
+"""
+
+
 def _mixture_summary(spark, sf_dir):
     """Token-weighted corpus mixing: thresholds derived from a 20k-token
     budget split 40/30/20/10 across sources, plus the achieved kept
@@ -2521,6 +2577,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_summary": _mixture_summary,
         "bloom_decontaminate": _bloom_decontaminate,
         "pack_summary": _pack_summary,
+        "quality_classify": _quality_classify,
     }
 
 
@@ -2545,6 +2602,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "mixture_summary": _MIXTURE_SUMMARY_SQL,
         "bloom_decontaminate": _BLOOM_DECONTAMINATE_SQL,
         "pack_summary": _PACK_SUMMARY_SQL,
+        "quality_classify": _quality_classify_sql(),
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

@@ -263,3 +263,67 @@ def mixture_summary(
         )
         .orderBy("source")
     )
+
+def load_quality_weights() -> dict:
+    """The shipped quality-classifier model (``ocr_spark/data/
+    quality_weights.json``, trained by ``tools/train_quality.py`` — a
+    logistic regression distilling the with_quality heuristic into
+    hashed-TF features, the CCNet linear-classifier construction). JSON
+    round-trips float64 exactly, so Spark plan, oracle builder and tests
+    see bit-identical weights (the IVF/BPE shipped-artifact precedent)."""
+    import json
+    from importlib.resources import files
+
+    return json.loads(
+        files("ocr_spark.data").joinpath("quality_weights.json").read_text()
+    )
+
+
+def classify_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: dict | None = None,
+) -> DataFrame:
+    """Model-based quality filter: (id, logit, keep) from a linear
+    classifier over L2-normalized hashed-TF features — the scale-path
+    replacement for per-rule heuristics once a corpus outgrows hand
+    thresholds (one trained model, one narrow pass).
+
+    Spark-first shape: features come from
+    :func:`~ocr_spark.operators.similarity.hashed_tf_embed` (pure JVM
+    staged folds, no Python), the score is ONE more narrow expression —
+    a zip_with/aggregate dot against the weight literals plus the bias,
+    rounded 6 dp. No shuffle, no UDF; at 100 TB this fuses into whatever
+    scan already reads the text. The decision boundary is logit ≥ 0
+    (sigmoid(0) = 0.5) so no transcendental ever enters the plan or the
+    oracle — the logit IS the score, monotone in the probability.
+
+    Determinism: TF counts are integer-exact, normalization and the
+    weight fold are fixed-order IEEE ops, weights are float64 literals —
+    the SQL oracle reproduces the logit bit-for-bit before the shared
+    6 dp rounding."""
+    from ocr_spark.operators.similarity import dot, hashed_tf_embed
+
+    if model is None:
+        model = load_quality_weights()
+    dim = int(model["dim"])
+    w = F.array(*[F.lit(float(x)) for x in model["weights"]]).cast(
+        "array<double>"
+    )
+    emb = hashed_tf_embed(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        text_col,
+        dim=dim,
+        out_col="_qc_emb",
+    )
+    logit = F.round(
+        dot(F.col("_qc_emb"), w) + F.lit(float(model["bias"])), 6
+    )
+    # logit staged in its own projection: `keep` references it again, and
+    # non-codegen HOF projections get no cross-expression CSE (the repo's
+    # standing gotcha) — inlining would run the weight fold twice per row
+    scored = emb.select("id", logit.alias("logit"))
+    return scored.select(
+        "id", "logit", (F.col("logit") >= 0).alias("keep")
+    )

@@ -596,6 +596,58 @@ def test_minhash_family_positions_are_independent_permutations():
     assert all(1 <= a < MINHASH_P and 0 <= b < MINHASH_P for a, b in coeffs)
 
 
+def test_cw_mulmod_matches_python_ints():
+    """The arrow engine's uint64 Mersenne mulmod must equal plain Python
+    big-int (a·h + b) mod 2^61−1 across the full coefficient/hash ranges,
+    including the boundary a = 2^60 the coefficient family can emit."""
+    import random
+
+    import numpy as np
+
+    from ocr_spark.operators.dedup import MINHASH_P, _cw_mulmod
+
+    rng = random.Random(99)
+    cases = [(1 << 60, (1 << 60) - 1), (1, 0), ((1 << 60) - 1, 1 << 59)]
+    cases += [
+        (rng.randrange(1, (1 << 60) + 1), rng.randrange(0, 1 << 60))
+        for _ in range(100)
+    ]
+    hs = np.array(
+        [0, 1, (1 << 60) - 1] + [rng.randrange(0, 1 << 60) for _ in range(61)],
+        dtype=np.uint64,
+    )
+    for a, b in cases:
+        got = [int(x) for x in _cw_mulmod(a, b, hs)]
+        assert got == [(a * int(h) + b) % MINHASH_P for h in hs], (a, b)
+
+
+def test_minhash_arrow_engine_matches_hof_bitwise(spark, corpus):
+    """engine='arrow' (vectorized uint64 mulmod + reduceat) must reproduce
+    engine='hof' (decimal(38,0) JVM fold) signature arrays bit-for-bit,
+    including the NULL-text INIT sentinel and the short-doc single-shingle
+    fallback."""
+    edge = spark.createDataFrame(
+        [(100, None), (101, ""), (102, "ab cd"), (103, "onlyoneword")],
+        "doc_id long, text string",
+    )
+    both = corpus.select("doc_id", "text").unionByName(edge)
+    hof = {
+        r["id"]: r["signature"]
+        for r in minhash_signatures(both, engine="hof").collect()
+    }
+    arrow = {
+        r["id"]: r["signature"]
+        for r in minhash_signatures(both, engine="arrow").collect()
+    }
+    assert arrow == hof
+    assert hof[100] == [1 << 62] * 16  # NULL text -> untouched INIT
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="engine"):
+        minhash_signatures(both, engine="gpu")
+
+
 def test_winnow_near_dup_catches_partial_copy(spark):
     """Char-level partial copies (shared >= k+w-1-char substring runs)
     pair under winnow Jaccard even when word-shingle Jaccard is diluted;
@@ -668,3 +720,51 @@ def test_containment_catches_embedded_doc(spark):
     assert jac[(0, 1)] < 0.3  # resemblance is diluted by the size gap
     with pytest.raises(ValueError):
         winnow_near_duplicates(df, metric="dice")
+
+
+def test_classify_quality_agrees_with_heuristic_on_corpus(spark):
+    """The shipped logistic model distills the with_quality heuristic: on
+    in-distribution documents (the synthetic corpus it was trained
+    against) its keep decision must agree with the heuristic-label rule
+    on a solid majority (training accuracy was 0.81; demand ≥ 0.7 on the
+    held-out sf0.001 tier). Hand-written English prose is deliberately
+    NOT asserted — hashed-TF features are corpus-distribution-specific.
+    Also: NULL text scores exactly round(bias, 6), and the plan stays
+    narrow (no Exchange, no Python)."""
+    from ocr_spark.operators.curation import classify_quality, load_quality_weights
+    from tools.train_quality import _stopwords, heuristic_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    stops = frozenset(_stopwords())
+    median = float(load_quality_weights()["label_rule"].split("(")[-1].rstrip(")"))
+    labels = {i: heuristic_score(t, stops) >= median for i, t in texts.items()}
+    keeps = {r["id"]: r["keep"] for r in classify_quality(docs).collect()}
+    agree = sum(keeps[i] == labels[i] for i in labels) / len(labels)
+    assert agree >= 0.7, agree
+    assert 0.0 < sum(keeps.values()) / len(keeps) < 1.0  # not degenerate
+
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    m = load_quality_weights()
+    got = classify_quality(nulls).collect()[0]
+    assert got["logit"] == round(float(m["bias"]), 6)
+
+    q = classify_quality(docs)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_classify_quality_model_roundtrip():
+    """Shipped weights are finite float64 with the dim the oracle SQL
+    embeds; the training metadata documents provenance."""
+    import math
+
+    from ocr_spark.operators.curation import load_quality_weights
+
+    m = load_quality_weights()
+    assert len(m["weights"]) == m["dim"] > 0
+    assert all(math.isfinite(x) for x in m["weights"] + [m["bias"]])
+    assert "train_quality" in m.get("trained_on", "") or m["trained_on"]
