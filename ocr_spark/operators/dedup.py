@@ -218,12 +218,47 @@ def minhash_coefficients(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     return coeffs
 
 
+def _mod61(x):
+    """Fully-reduced ``x mod 2^61-1`` for a uint64 array (any value):
+    fold twice on 2^61 ≡ 1, then one conditional subtract."""
+    import numpy as np
+
+    P = np.uint64(MINHASH_P)
+    s = np.uint64(61)
+    x = (x & P) + (x >> s)
+    x = (x & P) + (x >> s)
+    return np.where(x >= P, x - P, x)
+
+
+def _cw_mulmod(a: int, b: int, h):
+    """Exact ``(a·h + b) mod 2^61-1`` over a uint64 array of 60-bit base
+    hashes, schoolbook-split so no intermediate exceeds 2^64: with
+    a = a₁·2³¹+a₀ and h = h₁·2³¹+h₀,
+    a·h = a₁h₁·2⁶² + (a₁h₀+a₀h₁)·2³¹ + a₀h₀, and the Mersenne prime
+    gives 2⁶² ≡ 2, 2⁶¹ ≡ 1 for constant-shift reductions. Bit-identical
+    to the decimal(38,0) JVM arithmetic and the oracle's HUGEINT
+    (pytest-pinned against plain Python ints)."""
+    import numpy as np
+
+    mask31 = np.uint64((1 << 31) - 1)
+    mask30 = np.uint64((1 << 30) - 1)
+    a1 = np.uint64(a >> 31)
+    a0 = np.uint64(a & ((1 << 31) - 1))
+    h1 = h >> np.uint64(31)
+    h0 = h & mask31
+    t2 = (a1 * h1) << np.uint64(1)
+    mid = a1 * h0 + a0 * h1
+    midterm = (mid >> np.uint64(30)) + ((mid & mask30) << np.uint64(31))
+    return _mod61(t2 + midterm + a0 * h0 + np.uint64(b))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 16,
     k: int = 3,
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, signature array<long>) — ``n_hashes`` MinHash values per doc.
 
@@ -247,8 +282,32 @@ def minhash_signatures(
     array is built once per row and the whole signature is one narrow
     expression — n× less md5 hashing than the naive per-seed scan.
     Jaccard(a,b) ≈ fraction of equal positions.
+
+    Two engines, bit-identical signatures (pytest-pinned):
+
+    ``arrow`` (default): the irreducible per-shingle md5 stays JVM-side
+    (:func:`shingle_ids_from_tokens` — the family's shared 60-bit base
+    hash), and the n_hashes Carter-Wegman mins run in ONE Arrow batch
+    UDF as vectorized uint64 Mersenne mulmods (:func:`_cw_mulmod`) with
+    a ``minimum.reduceat`` over the batch's concatenated hash array.
+    Exact integer math — no floats anywhere — so signatures equal the
+    decimal path bit-for-bit. Replaces ~shingles×n_hashes interpreted
+    decimal(38,0) ops/doc (CodegenFallback) with n_hashes vectorized
+    passes per batch: measured 59.1 → 11.8 s for 16 hashes over 50k
+    docs (sf1), oracle-hash-identical. Still a narrow map — no shuffle,
+    partitioning untouched.
+
+    ``hof``: the all-JVM higher-order fold (aggregate+zip_with over the
+    shingle array in decimal(38,0)). No Python workers in the plan — the
+    reference shape when a deployment can't take Arrow workers — at
+    ~5× the wall cost. NULL semantics are identical by construction:
+    ``least`` skips the NULL hash a NULL text yields, leaving INIT,
+    which the arrow path mirrors by dropping NULL elements.
     """
+    if engine not in ("arrow", "hof"):
+        raise ValueError(f"unknown engine {engine!r}")
     coeffs = minhash_coefficients(n_hashes)
+    id_type = df.schema[id_col].dataType
     # stage the token array behind an eval barrier: the shingle expression
     # references it 4× and interpreted HOF trees re-run each reference, so
     # an inline tokenize costs 4 regexes per row (measured ~40% of the
@@ -256,6 +315,12 @@ def minhash_signatures(
     df = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_mh_toks")
     )
+    if engine == "arrow":
+        hashed = df.select(
+            "id",
+            shingle_ids_from_tokens(F.col("_mh_toks"), k).alias("_mh_base"),
+        )
+        return _arrow_signatures(hashed, id_type, coeffs)
     sh = shingles_from_tokens(F.col("_mh_toks"), k)
     per_shingle = F.transform(
         sh,
@@ -281,6 +346,60 @@ def minhash_signatures(
         ),
     )
     return df.select("id", sig.alias("signature"))
+
+
+def _arrow_signatures(hashed: DataFrame, id_type, coeffs) -> DataFrame:
+    """MinHash mins over pre-hashed shingle arrays (see
+    ``minhash_signatures`` engine='arrow'). Per Arrow batch: concatenate
+    every row's base-hash array into one uint64 vector, run each
+    Carter-Wegman function over it once (:func:`_cw_mulmod`), and
+    ``minimum.reduceat`` at the row offsets — n_hashes vectorized passes
+    regardless of document count. NULL elements are dropped (the fold's
+    ``least`` skips NULLs); NULL/empty arrays yield the INIT sentinel
+    signature, exactly like the fold's untouched init."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", id_type),
+            StructField("signature", ArrayType(LongType())),
+        ]
+    )
+    init_sig = [_MINHASH_INIT] * len(coeffs)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            arrs = []
+            lens = np.zeros(len(pdf), dtype=np.int64)
+            for i, v in enumerate(pdf["_mh_base"]):
+                if v is None:
+                    continue
+                a = np.asarray(v)
+                if a.dtype != np.int64:  # NULL elements came through Arrow
+                    a = a[pd.notna(a)].astype(np.int64)
+                if a.size:
+                    arrs.append(a)
+                    lens[i] = a.size
+            sigs = [init_sig] * len(pdf)
+            if arrs:
+                cat = np.concatenate(arrs).astype(np.uint64)
+                nonempty = np.nonzero(lens)[0]
+                starts = np.zeros(len(nonempty), dtype=np.int64)
+                np.cumsum(lens[nonempty][:-1], out=starts[1:])
+                mins = np.empty((len(nonempty), len(coeffs)), dtype=np.int64)
+                for j, (a, b) in enumerate(coeffs):
+                    g = _cw_mulmod(a, b, cat)
+                    mins[:, j] = np.minimum.reduceat(g, starts).astype(
+                        np.int64
+                    )
+                for row_i, sig_row in zip(nonempty, mins):
+                    sigs[row_i] = sig_row.tolist()
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "signature": sigs})
+
+    return hashed.mapInPandas(gen, out_schema)
 
 
 def lsh_candidate_pairs(

@@ -256,19 +256,33 @@ def test_knn_join_window_sees_partial_topk_not_cross_product(spark):
         assert join_node not in plan
 
 
-def test_embedding_near_dup_streams_pairs_no_posting_buffer(spark):
-    """Embedding near-dup must use the STREAMING bucket self-join, not a
-    collect_list posting: a posting materializes the bucket's member array
-    (bucket × dim doubles) into every exploded member row — measured OOM
-    on sf1's hot bucket. The join shuffles each vector once per side and
-    streams pair enumeration; no collect_list may appear in the plan."""
+def test_embedding_near_dup_never_builds_posting_buffer(spark):
+    """Neither embedding near-dup strategy may materialize a collect_list
+    posting: a posting duplicates the bucket's member array (bucket × dim
+    doubles) into every exploded member row — measured OOM on sf1's hot
+    bucket. The grouped default scores buckets in ONE FlatMapGroupsInPandas
+    (one Exchange on the bucket key, vectors move once); the streamed
+    fallback is the bucket-key equi-join that streams pair enumeration."""
     from ocr_spark.operators.similarity import embedding_near_duplicates
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    plan = _plan(embedding_near_duplicates(emb, threshold=0.9, n_planes=4, dim=16))
-    assert "collect_list" not in plan
-    assert "CartesianProduct" not in plan
-    assert "Join" in plan  # the bucket-key equi-join is the pair source
+    grouped = _plan(
+        embedding_near_duplicates(emb, threshold=0.9, n_planes=4, dim=16)
+    )
+    assert "collect_list" not in grouped
+    assert "CartesianProduct" not in grouped
+    assert "FlatMapGroupsInPandas" in grouped
+    # exactly two shuffles: the bucket groupBy + the cross-table distinct
+    assert grouped.count("Exchange") == 2
+
+    streamed = _plan(
+        embedding_near_duplicates(
+            emb, threshold=0.9, n_planes=4, dim=16, strategy="streamed"
+        )
+    )
+    assert "collect_list" not in streamed
+    assert "CartesianProduct" not in streamed
+    assert "Join" in streamed  # the bucket-key equi-join is the pair source
 
 
 def test_pii_redaction_is_narrow(docs):
