@@ -29,8 +29,25 @@ WORD_RE = "[a-z]{3,}"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one tier table — plus the toy-tier lake-layout shim.
+
+    Every tier table here is ONE parquet file with ONE row group, which
+    Spark cannot split: every scan-rooted narrow stage (the flagship
+    extraction, winnowing, signatures, quality scoring, …) would run in
+    a single task no matter how many cores the session has — measured
+    5× on sf1 winnowing (51.4 → 10.5 s at local[32]). A real lake is
+    millions of row-group-sized splits, so scan parallelism is free
+    there; the round-robin repartition below restores exactly that and
+    nothing else (results are unchanged — the compare is order-
+    insensitive — and sortBeforeRepartition keeps the layout
+    deterministic). Only single-split inputs are shimmed: anything
+    Spark can already split keeps its native file parallelism."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if df.rdd.getNumPartitions() == 1:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------------------
