@@ -2083,6 +2083,79 @@ SELECT doc_id AS id, logit, logit >= 0 AS keep FROM sc
 """
 
 
+def _dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, hashed-unigram core):
+    score every document by how much more likely its hashed token stream
+    is under the src0 target slice than under the full corpus — the
+    domain-targeting selection a pretraining mix runs to upweight
+    wiki-like text. Exact: md5 buckets, integer counts, one ln per
+    distinct bucket pair, 4-dp rounding."""
+    from ocr_spark.operators.curation import with_dsir_weight
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    target = docs.filter(F.col("source") == "src0")
+    return with_dsir_weight(docs, target).select(
+        F.col("id").alias("doc_id"), "n_tokens", "log_weight"
+    )
+
+
+#: DSIR oracle: same md5 bucket recipe (hashing.md5_mod contract), add-α
+#: smoothing over the FIXED 2¹⁶-bucket domain on both estimators, summed
+#: per-occurrence log ratio + the constant totals term folded per token
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(unnest(regexp_extract_all(lower(text), '{WORD_RE}'))), 1, 8))::BIGINT
+           % 65536 AS bucket
+  FROM documents
+),
+tgt AS (
+  SELECT bucket, count(*) AS ct FROM toks
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')
+  GROUP BY bucket
+),
+raw AS (SELECT bucket, count(*) AS cr FROM toks GROUP BY bucket),
+tot AS (SELECT (SELECT sum(ct) FROM tgt) AS nt, (SELECT sum(cr) FROM raw) AS nr)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(sum(ln(COALESCE(g.ct, 0) + 1.0) - ln(COALESCE(r.cr, 0) + 1.0)
+                 + ln((tot.nr + 65536.0) / (tot.nt + 65536.0))), 4) AS log_weight
+FROM toks t
+LEFT JOIN tgt g USING (bucket)
+LEFT JOIN raw r USING (bucket)
+CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+def _cap_per_source(spark, sf_dir):
+    """Per-source cap: keep the 10 best-quality docs per source
+    (quality_score desc, doc_id asc tie-break) — the source-balancing
+    window every web corpus runs so one domain cannot dominate."""
+    from ocr_spark.operators.curation import cap_per_source
+    from ocr_spark.operators.textstats import with_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    scored = with_quality(docs).select("doc_id", "source", "quality_score")
+    return cap_per_source(scored, 10, rank_col="quality_score")
+
+
+def _cap_per_source_sql() -> str:
+    return f"""
+WITH q AS ({_quality_sql()}),
+scored AS (
+  SELECT d.doc_id, d.source, q.quality_score
+  FROM documents d JOIN q USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY source ORDER BY quality_score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, source, quality_score FROM ranked WHERE rn <= 10
+"""
+
+
 def _mixture_summary(spark, sf_dir):
     """Token-weighted corpus mixing: thresholds derived from a 20k-token
     budget split 40/30/20/10 across sources, plus the achieved kept
@@ -2595,6 +2668,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": _bloom_decontaminate,
         "pack_summary": _pack_summary,
         "quality_classify": _quality_classify,
+        "dsir_importance": _dsir_importance,
+        "cap_per_source": _cap_per_source,
     }
 
 
@@ -2620,6 +2695,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": _BLOOM_DECONTAMINATE_SQL,
         "pack_summary": _PACK_SUMMARY_SQL,
         "quality_classify": _quality_classify_sql(),
+        "dsir_importance": _DSIR_SQL,
+        "cap_per_source": _cap_per_source_sql(),
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

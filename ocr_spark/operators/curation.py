@@ -327,3 +327,120 @@ def classify_quality(
     return scored.select(
         "id", "logit", (F.col("logit") >= 0).alias("keep")
     )
+
+
+def with_dsir_weight(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    n_buckets: int = 1 << 16,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023) reduced to its hashed-unigram core: score each raw document by
+    the log importance ratio of a TARGET distribution (the corpus you
+    want more of) to the RAW distribution (the corpus you are selecting
+    from),
+
+        log w(doc) = Σ_tokens ln( p̂_target(b(t)) / p̂_raw(b(t)) ),
+
+    over md5-hashed token buckets ``b(t) = md5_mod(token, n_buckets)``
+    (DSIR's hashed n-gram features — the fixed bucket domain makes the
+    add-α vocabulary size a CONSTANT, so both estimators smooth over the
+    same support and the ratio needs no shared-vocab bookkeeping).
+    Returns (id, n_tokens, log_weight); a pipeline keeps the top mass by
+    log_weight. The paper's Gumbel-noise resampling step is deliberately
+    left to the caller — it is the one non-deterministic piece, and a
+    deterministic build selects by rank or threshold instead
+    (``cap_per_source`` composes for the per-source balanced variant).
+
+    Shape at 100 TB: two hash aggregates build the bucket count tables
+    (≤ n_buckets rows each — tiny, they broadcast), then scoring is one
+    narrow explode + two broadcast joins + one per-doc aggregate. No
+    UDF, no driver state; the target side is an eval/domain sample and
+    N_target ≪ N_raw. log_weight rounds to 4 dp — same cross-engine
+    contract as ``with_unigram_nll`` (ln is the only transcendental;
+    counts and totals are integer-exact)."""
+    from ocr_spark.functions.explode import explode_nonnull
+    from ocr_spark.functions.hashing import md5_mod
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+
+    def bucket_counts(frame: DataFrame, cnt_alias: str) -> DataFrame:
+        toked = frame.select(tokens(text_col).alias("_ds_toks"))
+        return (
+            explode_nonnull(toked, "_ds_toks", "token")
+            .select(md5_mod(F.col("token"), n_buckets).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(cnt_alias))
+        )
+
+    tgt = bucket_counts(target, "_ds_ct")
+    raw = bucket_counts(df, "_ds_cr")
+    totals = tgt.agg(F.sum("_ds_ct").alias("_ds_nt")).crossJoin(
+        raw.agg(F.sum("_ds_cr").alias("_ds_nr"))
+    )
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_ds_toks")
+    )
+    exploded = explode_nonnull(toked, "_ds_toks", "token", "id").select(
+        "id", md5_mod(F.col("token"), n_buckets).alias("bucket")
+    )
+    av = F.lit(float(alpha) * n_buckets)
+    # per-occurrence log ratio; the totals term is constant per token so
+    # it folds into the same sum (Σ [ln(ct+α) − ln(cr+α)] + n·ln((Nr+αB)/(Nt+αB)))
+    lr = (
+        F.log(F.coalesce(F.col("_ds_ct"), F.lit(0)) + F.lit(float(alpha)))
+        - F.log(F.coalesce(F.col("_ds_cr"), F.lit(0)) + F.lit(float(alpha)))
+        + F.log((F.col("_ds_nr") + av) / (F.col("_ds_nt") + av))
+    )
+    return (
+        exploded.join(F.broadcast(tgt), "bucket", "left")
+        .join(F.broadcast(raw), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(lr), 4).alias("log_weight"),
+        )
+    )
+
+
+def cap_per_source(
+    df: DataFrame,
+    n_per_source: int,
+    source_col: str = "source",
+    rank_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document cap — the source-balancing step every web-scale
+    corpus runs so one crawl domain cannot dominate the mix: keep at most
+    ``n_per_source`` documents per source, ranked by ``rank_col``
+    descending (quality-first survival) with ``id_col`` ascending as the
+    deterministic tie-break; ``rank_col=None`` keeps the n smallest ids.
+    Returns the input rows minus the overflow, unchanged schema.
+
+    ONE window per source partition — the per-key state is a running row
+    number, so memory is O(1) per task regardless of how hot a source
+    is; skewed sources cost sort time, not memory (contrast collect_list
+    caps). At 100 TB this is the same shape as the T8 assembly window:
+    one hash shuffle on the source key, then a streaming rank."""
+    from pyspark.sql import Window
+
+    if n_per_source <= 0:
+        raise ValueError(
+            f"n_per_source must be positive, got {n_per_source}"
+        )
+    order = (
+        [F.desc(rank_col), F.col(id_col).asc()]
+        if rank_col is not None
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        df.withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= n_per_source)
+        .drop("_cap_rn")
+    )

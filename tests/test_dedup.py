@@ -768,3 +768,101 @@ def test_classify_quality_model_roundtrip():
     assert len(m["weights"]) == m["dim"] > 0
     assert all(math.isfinite(x) for x in m["weights"] + [m["bias"]])
     assert "train_quality" in m.get("trained_on", "") or m["trained_on"]
+
+
+def test_dsir_weight_matches_local_reference(spark):
+    """Bit-equality (after the shared 4-dp rounding) with a direct Python
+    transcription of the DSIR hashed-unigram importance weight."""
+    import hashlib
+    import math
+    import re as _re
+
+    from ocr_spark.operators.curation import with_dsir_weight
+
+    B = 1 << 16
+
+    def bkt(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    texts = {
+        0: "wiki article about science and history topics",
+        1: "wiki article about science and nature facts",
+        2: "spam spam buy now cheap deals offer offer",
+        3: "history nature deals and science",
+    }
+    target_ids = {0, 1}
+    toks = {
+        i: _re.findall("[a-z]{3,}", t.lower()) for i, t in texts.items()
+    }
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for i, ts in toks.items():
+        for t in ts:
+            cr[bkt(t)] = cr.get(bkt(t), 0) + 1
+            if i in target_ids:
+                ct[bkt(t)] = ct.get(bkt(t), 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+
+    def pyref(ts):
+        return round(
+            sum(
+                math.log(ct.get(bkt(t), 0) + 1.0)
+                - math.log(cr.get(bkt(t), 0) + 1.0)
+                + math.log((nr + B) / (nt + B))
+                for t in ts
+            ),
+            4,
+        )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    target = df.filter(F.col("doc_id").isin([0, 1]))
+    rows = {
+        r["id"]: r for r in with_dsir_weight(df, target).collect()
+    }
+    for i, ts in toks.items():
+        assert rows[i]["n_tokens"] == len(ts)
+        assert rows[i]["log_weight"] == pyref(ts), i
+    # directional sanity: target-like text outweighs off-target text
+    assert rows[0]["log_weight"] > rows[2]["log_weight"]
+
+
+def test_dsir_weight_validates(spark):
+    import pytest as _pytest
+
+    from ocr_spark.operators.curation import with_dsir_weight
+
+    df = spark.createDataFrame([(0, "alpha bravo")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="n_buckets"):
+        with_dsir_weight(df, df, n_buckets=0)
+
+
+def test_cap_per_source_rank_and_ties(spark):
+    """Keeps the n best per source by (rank desc, id asc); schema is
+    unchanged; rank_col=None keeps the n smallest ids."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.curation import cap_per_source
+
+    rows = [
+        # source, id, score — src_a has a tie at score 9 (ids 2 < 3)
+        ("src_a", 1, 10),
+        ("src_a", 2, 9),
+        ("src_a", 3, 9),
+        ("src_a", 4, 1),
+        ("src_b", 5, 5),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, q) for s, i, q in rows], ["doc_id", "source", "score"]
+    )
+    kept = cap_per_source(df, 2, rank_col="score")
+    assert kept.columns == ["doc_id", "source", "score"]
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert got == [1, 2, 5]  # tie at 9 keeps id 2, drops id 3
+    got_ids = sorted(
+        r["doc_id"] for r in cap_per_source(df, 2).collect()
+    )
+    assert got_ids == [1, 2, 5]  # rank_col=None -> smallest ids
+    with _pytest.raises(ValueError, match="n_per_source"):
+        cap_per_source(df, 0)
