@@ -11,6 +11,7 @@ columns sorted by name). Exit code 1 on any mismatch.
 from __future__ import annotations
 
 import argparse
+import gc
 import hashlib
 import os
 import sys
@@ -73,6 +74,12 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # bound the oracle's buffer pool: DuckDB's default limit is 80% of
+    # RAM, and at the sf1 tier its HUGEINT joins grow the shared
+    # process's RSS until the NEXT Spark query's executors stall in page
+    # faults — measured 38x inflation (bloom_decontaminate 125 s in the
+    # sweep vs 3.3 s isolated). The oracles all fit comfortably in 24 GB.
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         # partial tiers (data/sf1 ships documents+embeddings only) register
         # what exists; queries over missing tables fail loudly at run time
@@ -101,6 +108,14 @@ def main() -> int:
             failed.append(name)
             continue
         dt = time.monotonic() - t0
+        # between-query hygiene (same fix bench.py carries): operators
+        # that build eager localCheckpoints (surrogate-id dictionaries,
+        # cluster resolution) leave blocks persisted until a driver GC
+        # that may never come — across a 35-query sweep the leaked blocks
+        # shrink executor memory and progressively degrade later queries
+        gc.collect()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(rows)} rows ({dt:.1f}s)")
             if not rows and name != "jaccard_near_dup":

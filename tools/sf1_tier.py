@@ -35,6 +35,7 @@ DOC_QUERIES = [
     "minhash_signatures", "simhash", "dedup_corpus", "fingerprints",
     "token_counts", "winnow_fingerprints", "doc_tf_embeddings", "doc_quality",
     "mixture_summary", "bloom_decontaminate", "pack_summary",
+    "dsir_importance", "cap_per_source",
 ]
 SIM_QUERIES = [
     "ann_cosine_topk", "ann_lsh_topk", "ivf_topk", "knn_join",
