@@ -2558,11 +2558,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": _source_stats,
         # sharded training-corpus write (histogram = the queryable stage)
         "training_shards": _training_shards,
+        # data-selection breadth (round-4 rotation: the newest family
+        # gets driver-gate rows; q18 and w1 — TPC-H shapes whose
+        # join-agg / window-top-k siblings q1/q3 and cap_per_source stay
+        # gated — moved to extras)
+        "dsir_importance": _dsir_importance,
+        "cap_per_source": _cap_per_source,
         # relational breadth
         "q1_pricing": _q1_pricing,
         "q3_nation_revenue": _q3_nation_revenue,
-        "q18_large_orders": _q18_large_orders,
-        "w1_top_orders_per_customer": _w1_top_orders_per_customer,
     }
 
 
@@ -2617,8 +2621,8 @@ def oracle_sql() -> dict[str, str]:
         "training_shards": _SHARDS_SQL,
         "q1_pricing": _Q1_SQL,
         "q3_nation_revenue": _Q3_SQL,
-        "q18_large_orders": _Q18_SQL,
-        "w1_top_orders_per_customer": _W1_SQL,
+        "dsir_importance": _DSIR_SQL,
+        "cap_per_source": _cap_per_source_sql(),
     }
 
 
@@ -2642,7 +2646,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mixture_summary (token-weighted corpus mixing), bloom_decontaminate
     (narrow Bloom-bitset decontamination), pack_summary (sequence
     packing) — all fully oracle-backed and rotation candidates for the
-    next round.
+    next round. The late-round-4 dsir_importance / cap_per_source pair
+    DID rotate into the gate, displacing q18_large_orders and
+    w1_top_orders_per_customer here (TPC-H shapes whose join-agg and
+    window-top-k siblings q1/q3/cap_per_source remain gated).
     Kept out of the driver's 50-row gate so every distinct operator family
     gets a recorded row there; run them with
     ``python tools/check_oracles.py --extended``."""
@@ -2668,8 +2675,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": _bloom_decontaminate,
         "pack_summary": _pack_summary,
         "quality_classify": _quality_classify,
-        "dsir_importance": _dsir_importance,
-        "cap_per_source": _cap_per_source,
+        "q18_large_orders": _q18_large_orders,
+        "w1_top_orders_per_customer": _w1_top_orders_per_customer,
     }
 
 
@@ -2695,8 +2702,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": _BLOOM_DECONTAMINATE_SQL,
         "pack_summary": _PACK_SUMMARY_SQL,
         "quality_classify": _quality_classify_sql(),
-        "dsir_importance": _DSIR_SQL,
-        "cap_per_source": _cap_per_source_sql(),
+        "q18_large_orders": _Q18_SQL,
+        "w1_top_orders_per_customer": _W1_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

@@ -171,7 +171,9 @@ def test_window_topk_single_shuffle(spark):
     loader-owned, not part of the query's shape."""
     import __spark_entry__ as e
 
-    df = e.queries()["w1_top_orders_per_customer"](spark, SF)
+    # w1 rotated to extras in round 4 (cap_per_source gates the same
+    # window-top-k shape on documents)
+    df = e.extra_queries()["w1_top_orders_per_customer"](spark, SF)
     plan = _plan(df)
     assert "Window" in plan
     shim = plan.count("Exchange RoundRobinPartitioning")
