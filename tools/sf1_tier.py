@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
 import re
 import subprocess
@@ -112,6 +113,12 @@ def main() -> int:
 
     names = DOC_QUERIES + SIM_QUERIES + ([] if args.skip_heavy else HEAVY)
     t0 = time.monotonic()
+    # size the local-mode driver heap for the tier: get_spark defaults to
+    # 8 GB (right for sf<=0.1), but the sf1 posting/pair shuffles allocate
+    # ~2 GB of unsafe rows across 32 executor threads in the SAME JVM —
+    # at 8 GB the winnow pair stage GC-thrashes (GCLocker retry warnings,
+    # 143 s in-sweep vs 43 s at 48 GB, and repeat runs OOM)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     proc = subprocess.run(
         [sys.executable, str(REPO / "tools" / "check_oracles.py"),
          "--sf", args.sf, "--extended", "--only", ",".join(names)],
