@@ -59,6 +59,13 @@ def main() -> int:
     ap.add_argument("--sf", default=os.environ.get("SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
     ap.add_argument(
+        "--engine-time",
+        action="store_true",
+        help="also time each query as a count() action so engine cost is "
+        "reported separately from the comparison collect()'s row "
+        "serialization (roughly doubles the Spark side)",
+    )
+    ap.add_argument(
         "--extended",
         action="store_true",
         help="also run extra_queries() (oracle-backed physical variants "
@@ -99,7 +106,19 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.monotonic()
+        eng = None
         try:
+            if args.engine_time:
+                # separate ENGINE cost from the harness's row
+                # serialization: a count() drives the identical plan but
+                # collects nothing, so array-heavy outputs (winnow sets,
+                # signatures — multi-M elements) don't book their driver
+                # pickle time as engine time. The comparison collect below
+                # then re-executes; the sweep pays ~2x for the split.
+                te = time.monotonic()
+                fn(spark, args.sf).count()
+                eng = time.monotonic() - te
+                t0 = time.monotonic()
             sdf = fn(spark, args.sf)
             cols = sdf.columns
             rows = [tuple(r) for r in sdf.collect()]
@@ -117,7 +136,8 @@ def main() -> int:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(False)
         if name not in oracles:
-            print(f"ok   {name}: rows-only, {len(rows)} rows ({dt:.1f}s)")
+            suffix = f", engine {eng:.1f}s" if eng is not None else ""
+            print(f"ok   {name}: rows-only, {len(rows)} rows ({dt:.1f}s{suffix})")
             if not rows and name != "jaccard_near_dup":
                 print(f"     WARNING {name} returned 0 rows")
             continue
@@ -149,7 +169,8 @@ def main() -> int:
                     break
             failed.append(name)
         else:
-            print(f"PASS {name}: {len(rows)} rows, hash {sh} ({dt:.1f}s)")
+            suffix = f", engine {eng:.1f}s" if eng is not None else ""
+            print(f"PASS {name}: {len(rows)} rows, hash {sh} ({dt:.1f}s{suffix})")
     spark.stop()
     if failed:
         print(f"\n{len(failed)} FAILED: {failed}")

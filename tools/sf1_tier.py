@@ -121,7 +121,8 @@ def main() -> int:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     proc = subprocess.run(
         [sys.executable, str(REPO / "tools" / "check_oracles.py"),
-         "--sf", args.sf, "--extended", "--only", ",".join(names)],
+         "--sf", args.sf, "--extended", "--engine-time",
+         "--only", ",".join(names)],
         capture_output=True, text=True,
     )
     wall = round(time.monotonic() - t0, 1)
@@ -130,19 +131,33 @@ def main() -> int:
 
     results = {}
     for line in proc.stdout.splitlines():
-        m = re.match(r"PASS (\w+): (\d+) rows, hash (\w+) \(([\d.]+)s\)", line)
+        m = re.match(
+            r"PASS (\w+): (\d+) rows, hash (\w+) "
+            r"\(([\d.]+)s(?:, engine ([\d.]+)s)?\)",
+            line,
+        )
         if m:
             results[m.group(1)] = {
                 "rows": int(m.group(2)), "hash": m.group(3),
                 "sec": float(m.group(4)), "oracle": True,
             }
+            if m.group(5) is not None:
+                # engine cost alone; "sec" includes the comparison
+                # collect()'s row serialization (multi-M-element arrays)
+                results[m.group(1)]["engine_sec"] = float(m.group(5))
             continue
-        m = re.match(r"ok   (\w+): rows-only, (\d+) rows \(([\d.]+)s\)", line)
+        m = re.match(
+            r"ok   (\w+): rows-only, (\d+) rows "
+            r"\(([\d.]+)s(?:, engine ([\d.]+)s)?\)",
+            line,
+        )
         if m:
             results[m.group(1)] = {
                 "rows": int(m.group(2)), "sec": float(m.group(3)),
                 "oracle": False,
             }
+            if m.group(4) is not None:
+                results[m.group(1)]["engine_sec"] = float(m.group(4))
     missing = [n for n in names if n not in results]
 
     caps = cap_counters(args.sf)
