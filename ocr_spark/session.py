@@ -50,6 +50,20 @@ def get_spark(
         # serializing the scan+shuffle stage; measured 2026-08-17)
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # pre-commit and pre-touch the heap: the first big-shuffle stage
+        # otherwise pays the heap-growth tax — threads stall off-CPU in
+        # allocation/page faults while the JVM grows from its initial
+        # size (stage forensics: 4355 s task runtime / 1550 s CPU cold
+        # vs 224/218 warm on the IDENTICAL stage; a cold sf1 winnow run
+        # drops 112-292 s -> 48 s with a pre-touched heap). Pre-touch
+        # costs seconds once at startup, linear in heap size. In
+        # spark-submit deployments the driver JVM is already up when
+        # this builder runs — set the same flags on the submit command.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+            + " -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
