@@ -1515,6 +1515,92 @@ SELECT DISTINCT id_a, id_b, cos FROM scored WHERE cos >= 0.4
 """
 
 
+def _semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    dedup over k-means cells. The shipped IVF quantizer assigns every
+    vector to a cell; only within-cell pairs are cosine-scored (Σ|cell|²
+    candidates, never all-pairs); duplicate groups resolve by connected
+    components; the keeper is the member FARTHEST from its centroid
+    (lowest 6-dp cosine, id tiebreak) — the paper's diversity rule.
+    Deterministic end-to-end given the shipped centroids, so the oracle
+    reproduces assignment, pairs, components, and ranking exactly."""
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _semantic_dedup_sql(threshold: float = 0.4) -> str:
+    """SemDeDup oracle: same centroid literals as the IVF oracle, same
+    first-max assignment, within-cell pair scoring, recursive-CTE
+    components, and the farthest-from-centroid window rank."""
+    from ocr_spark.operators.similarity import load_ivf_centroids
+
+    cents = load_ivf_centroids()
+
+    def scores(vexpr: str) -> str:
+        return "[" + ", ".join(
+            "list_inner_product({v}, [{c}])".format(
+                v=vexpr, c=", ".join(repr(x) for x in cent)
+            )
+            for cent in cents
+        ) + "]"
+
+    c_norms = "[" + ", ".join(
+        "sqrt(list_inner_product([{c}], [{c}]))".format(
+            c=", ".join(repr(x) for x in cent)
+        )
+        for cent in cents
+    ) + "]"
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+asg AS (
+  SELECT id, v, CAST(list_indexof(sc, list_aggregate(sc, 'max')) - 1 AS INTEGER) AS cell,
+         list_aggregate(sc, 'max') AS mx
+  FROM (SELECT id, v, {scores('v')} AS sc FROM v)
+),
+asgc AS (
+  SELECT id, cell,
+         ROUND(CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 0.0
+                    ELSE mx / (sqrt(list_inner_product(v, v)) * ({c_norms})[cell + 1])
+               END, 6) AS centroid_cos
+  FROM asg
+),
+pairs AS (
+  SELECT * FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+    FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id)
+  WHERE cos >= {threshold}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id AS label FROM verts
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+ranked AS (
+  SELECT c.id AS rid, c.cluster,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY a.centroid_cos ASC, c.id ASC) AS rn
+  FROM comp c JOIN asgc a ON a.id = c.id
+)
+SELECT a.id, a.cell, a.centroid_cos,
+       COALESCE(r.cluster, a.id) AS cluster,
+       COALESCE(r.rn = 1, TRUE) AS keep
+FROM asgc a LEFT JOIN ranked r ON r.rid = a.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (lang-ID, quality, token counts, fingerprints).
 # ---------------------------------------------------------------------------
@@ -2545,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _ivf_topk,
         "knn_join": _knn_join,
         "embedding_near_dup": _embedding_near_dup,
+        "semantic_dedup": _semantic_dedup,
         # multimodal (real stdlib codecs + numpy pixel ops)
         "media_image_features": _media_image_features,
         "media_audio_features": _media_audio_features,
@@ -2564,9 +2651,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gated — moved to extras)
         "dsir_importance": _dsir_importance,
         "cap_per_source": _cap_per_source,
-        # relational breadth
+        # relational breadth (q3 displaced to extras in session 5 so the
+        # newest family — semantic_dedup — gets a driver-gate row; q1
+        # keeps the join-agg shape gated)
         "q1_pricing": _q1_pricing,
-        "q3_nation_revenue": _q3_nation_revenue,
     }
 
 
@@ -2613,6 +2701,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_sql(),
         "knn_join": _KNN_SQL,
         "embedding_near_dup": _emb_near_dup_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "lang_id_counts": _langid_sql(),
         "gopher_repetition": _GOPHER_REPETITION_SQL,
         "unigram_nll": _UNIGRAM_NLL_SQL,
@@ -2620,7 +2709,6 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": _source_stats_sql(),
         "training_shards": _SHARDS_SQL,
         "q1_pricing": _Q1_SQL,
-        "q3_nation_revenue": _Q3_SQL,
         "dsir_importance": _DSIR_SQL,
         "cap_per_source": _cap_per_source_sql(),
     }
@@ -2677,6 +2765,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classify": _quality_classify,
         "q18_large_orders": _q18_large_orders,
         "w1_top_orders_per_customer": _w1_top_orders_per_customer,
+        "q3_nation_revenue": _q3_nation_revenue,
     }
 
 
@@ -2704,6 +2793,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "quality_classify": _quality_classify_sql(),
         "q18_large_orders": _Q18_SQL,
         "w1_top_orders_per_customer": _W1_SQL,
+        "q3_nation_revenue": _Q3_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

@@ -851,3 +851,178 @@ def _grouped_bucket_pairs(
         .filter(F.col("cos") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication over k-means cells (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", arXiv:2303.09540).
+# ---------------------------------------------------------------------------
+
+
+def assign_with_centroid_cos(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell assignment plus cosine-to-assigned-centroid in one narrow pass:
+    (id, vd, cell, centroid_cos). Assignment is :func:`ivf_assign`'s
+    first-max-dot argmax; ``centroid_cos`` divides that max dot by
+    ‖v‖·‖c_cell‖ where BOTH norms are index-order aggregate folds, so the
+    value is bit-identical however the oracle re-derives it (the centroid
+    norms are constant-folded literals in the plan). Rounded to 6 dp HERE
+    because downstream ranking must tie-break on the value both engines
+    agree on. Zero vectors score 0.0; NULL vectors get NULL cell/cos.
+
+    Each derived column lives in its own projection — Spark has no
+    cross-expression CSE for non-codegen HOF trees, so referencing ``_sc``
+    from a fused projection would re-evaluate all n_cells dot products per
+    reference."""
+    v = _as_double(vec_col)
+    scores = F.array(
+        *[
+            dot(
+                F.col("vd"),
+                F.array(*[F.lit(float(x)) for x in cent]).cast("array<double>"),
+            )
+            for cent in centroids
+        ]
+    )
+    c_norms = F.array(
+        *[
+            norm(F.array(*[F.lit(float(x)) for x in cent]).cast("array<double>"))
+            for cent in centroids
+        ]
+    )
+    base = df.select(F.col(id_col).alias("id"), v.alias("vd"))
+    staged = (
+        base.withColumn("_sc", scores)
+        .withColumn("_mx", F.array_max("_sc"))
+        .withColumn(
+            "cell", (F.array_position(F.col("_sc"), F.col("_mx")) - 1).cast("int")
+        )
+        .withColumn("_nv", norm(F.col("vd")))
+    )
+    cos = F.when(F.col("_nv") == 0.0, F.lit(0.0)).otherwise(
+        F.col("_mx") / (F.col("_nv") * F.element_at(c_norms, F.col("cell") + 1))
+    )
+    return staged.withColumn("centroid_cos", F.round(cos, 6)).drop(
+        "_sc", "_mx", "_nv"
+    )
+
+
+def semantic_dedup_pairs(
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    max_cell_size: int | None = None,
+    strategy: str = "grouped",
+) -> DataFrame:
+    """Within-cell near-duplicate pairs (id_a, id_b, cos ≥ threshold) over
+    the output of :func:`assign_with_centroid_cos`. The k-means cell plays
+    the LSH bucket's role: only same-cell pairs are scored, so the all-pairs
+    O(n²) collapses to Σ|cell|² — the SemDeDup candidate-generation shape.
+    Physical strategies are shared with :func:`embedding_near_duplicates`
+    (``grouped`` = one shuffle + vectorized per-cell pair block, bit-identical
+    scores; ``streamed`` = cell self-join, unbounded cells). At corpus scale
+    cells are ~N/√N ≈ √N wide — cap pathological cells with
+    ``max_cell_size`` exactly like hot LSH buckets."""
+    if strategy not in ("grouped", "streamed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    live = assigned.filter(F.col("cell").isNotNull())
+    if strategy == "grouped":
+        bucketed = live.select(
+            F.col("cell").alias("bucket"), F.col("id"), F.col("vd")
+        )
+        return _grouped_bucket_pairs(
+            bucketed, assigned.schema["id"].dataType, threshold, max_cell_size
+        )
+    withn = live.select("cell", "id", "vd", norm(F.col("vd")).alias("n"))
+    if max_cell_size is not None:
+        from pyspark.sql import Window
+
+        withn = (
+            withn.withColumn(
+                "_cs", F.count(F.lit(1)).over(Window.partitionBy("cell"))
+            )
+            .filter(F.col("_cs") <= max_cell_size)
+            .drop("_cs")
+        )
+    a = withn.alias("a")
+    b = withn.alias("b")
+    cos = F.round(
+        dot(F.col("a.vd"), F.col("b.vd")) / (F.col("a.n") * F.col("b.n")), 6
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]] | None = None,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "far",
+    max_cell_size: int | None = None,
+    strategy: str = "grouped",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup: embedding-space deduplication via k-means cells. Assign
+    every vector to its nearest shipped-quantizer centroid, score only
+    within-cell pairs, resolve duplicate groups by connected components,
+    and keep ONE representative per group — by default the member FARTHEST
+    from its centroid (lowest ``centroid_cos``, the paper's diversity-
+    preserving rule; Abbas et al. 2023 §2), ``keep='min_id'`` for the
+    D7-consistent canonical-minimum rule. Returns every input row as
+    (id, cell, centroid_cos, cluster, keep).
+
+    Scale shape: assignment is narrow (literal centroids); pair generation
+    shuffles once on cell; components iterate over PAIR VERTICES only
+    (tiny vs corpus); the keep ranking windows only those vertices and
+    broadcast-joins the flags back — the corpus itself is never windowed
+    or re-shuffled. Deterministic end-to-end: ranking ties on the 6-dp
+    rounded cosine break by ascending id in both engines."""
+    if keep not in ("far", "min_id"):
+        raise ValueError(f"unknown keep rule {keep!r}")
+    if centroids is None:
+        centroids = load_ivf_centroids()
+    assigned = assign_with_centroid_cos(df, centroids, id_col, vec_col)
+    pairs = semantic_dedup_pairs(assigned, threshold, max_cell_size, strategy)
+    from ocr_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    if keep == "min_id":
+        flags = comp.select(
+            "id", "cluster", (F.col("cluster") == F.col("id")).alias("keep")
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cluster").orderBy(
+            F.col("centroid_cos").asc(), F.col("id").asc()
+        )
+        flags = (
+            comp.join(assigned.select("id", "centroid_cos"), "id")
+            .withColumn("keep", F.row_number().over(w) == 1)
+            .select("id", "cluster", "keep")
+        )
+    return (
+        assigned.join(flags, "id", "left")
+        .select(
+            "id",
+            "cell",
+            "centroid_cos",
+            F.coalesce("cluster", F.col("id")).alias("cluster"),
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+    )

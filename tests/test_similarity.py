@@ -521,3 +521,171 @@ def test_hashed_tf_embed_rejects_bad_dim(spark):
     docs = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         hashed_tf_embed(docs, dim=0)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup over k-means cells)
+# ---------------------------------------------------------------------------
+
+
+def _unit(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pytest.fixture(scope="module")
+def sem_centroids():
+    rng = random.Random(99)
+    return [_unit([rng.gauss(0, 1) for _ in range(DIM)]) for _ in range(4)]
+
+
+def _assign_py(vecs, cents):
+    """Reference assignment: first-max dot, matching array_position."""
+    out = {}
+    for i, v in vecs.items():
+        scores = [sum(a * b for a, b in zip(v, c)) for c in cents]
+        out[i] = scores.index(max(scores))
+    return out
+
+
+def test_semantic_dedup_pairs_match_bruteforce_within_cells(
+    vectors, sem_centroids
+):
+    from ocr_spark.operators.similarity import (
+        assign_with_centroid_cos,
+        semantic_dedup_pairs,
+    )
+
+    import numpy as np
+
+    df, vecs = vectors
+    # brute force over the vectors as Spark stores them: float32 columns
+    # widened to double by the operator's cast
+    f32 = {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}
+    cells = _assign_py(f32, sem_centroids)
+    expected = set()
+    ids = sorted(vecs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if cells[a] != cells[b]:
+                continue
+            c = round(_cos(f32[a], f32[b]), 6)
+            if c >= 0.8:
+                expected.add((a, b))
+    got = semantic_dedup_pairs(
+        assign_with_centroid_cos(df, sem_centroids), threshold=0.8
+    )
+    got_pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert got_pairs == expected
+    assert (200 in {p for pr in got_pairs for p in pr}) or not expected
+
+
+def test_semantic_dedup_grouped_matches_streamed(vectors, sem_centroids):
+    from ocr_spark.operators.similarity import (
+        assign_with_centroid_cos,
+        semantic_dedup_pairs,
+    )
+
+    df, _ = vectors
+    assigned = assign_with_centroid_cos(df, sem_centroids)
+    g = sorted(
+        (r.id_a, r.id_b, r.cos)
+        for r in semantic_dedup_pairs(assigned, 0.5, strategy="grouped").collect()
+    )
+    s = sorted(
+        (r.id_a, r.id_b, r.cos)
+        for r in semantic_dedup_pairs(assigned, 0.5, strategy="streamed").collect()
+    )
+    assert g == s and len(g) > 0
+
+
+def test_semantic_dedup_keep_far_rule(vectors, sem_centroids):
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    df, vecs = vectors
+    out = semantic_dedup(df, sem_centroids, threshold=0.8).collect()
+    assert len(out) == len(vecs)  # every input row present
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    multi = [m for m in by_cluster.values() if len(m) > 1]
+    assert multi, "planted near-dup should form at least one cluster"
+    for members in by_cluster.values():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1
+        # the paper's rule: farthest from centroid (lowest cos), id tiebreak
+        want = min(members, key=lambda r: (r.centroid_cos, r.id))
+        assert keepers[0].id == want.id
+
+
+def test_semantic_dedup_min_id_rule(vectors, sem_centroids):
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    df, _ = vectors
+    out = semantic_dedup(df, sem_centroids, threshold=0.8, keep="min_id").collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1
+        assert keepers[0].id == min(r.id for r in members)
+
+
+def test_semantic_dedup_null_vector_is_singleton(spark, sem_centroids):
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [(0, _vec(rng)), (1, None), (2, _vec(rng))], schema
+    )
+    rows = {r.id: r for r in semantic_dedup(df, sem_centroids).collect()}
+    assert rows[1].cell is None and rows[1].keep and rows[1].cluster == 1
+    assert rows[0].cell is not None
+
+
+def test_semantic_dedup_cell_cap_drops_pathological_cell(spark, sem_centroids):
+    from ocr_spark.operators.similarity import (
+        assign_with_centroid_cos,
+        semantic_dedup_pairs,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    base = [1.0] * DIM  # identical vectors all land in one cell
+    df = spark.createDataFrame([(i, base) for i in range(20)], schema)
+    assigned = assign_with_centroid_cos(df, sem_centroids)
+    for strategy in ("grouped", "streamed"):
+        full = semantic_dedup_pairs(assigned, 0.99, strategy=strategy)
+        assert full.count() == 20 * 19 // 2
+        capped = semantic_dedup_pairs(
+            assigned, 0.99, max_cell_size=10, strategy=strategy
+        )
+        assert capped.count() == 0
+
+
+def test_semantic_dedup_rejects_bad_args(vectors, sem_centroids):
+    from ocr_spark.operators.similarity import (
+        assign_with_centroid_cos,
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    df, _ = vectors
+    with pytest.raises(ValueError):
+        semantic_dedup(df, sem_centroids, keep="median")
+    with pytest.raises(ValueError):
+        semantic_dedup_pairs(
+            assign_with_centroid_cos(df, sem_centroids), strategy="posting"
+        )
