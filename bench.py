@@ -54,6 +54,7 @@ HEADLINE = [
     "ivf_topk",
     "knn_join",
     "embedding_near_dup",
+    "semantic_dedup",
     "asof_signup_attribution",
     "range_join_error_sessions",
     "lang_id_counts",

@@ -58,7 +58,7 @@ def test_dedup_signatures_narrow(docs):
 def test_broadcast_join_in_q3(spark):
     import __spark_entry__ as e
 
-    plan = _plan(e.queries()["q3_nation_revenue"](spark, SF))
+    plan = _plan(e.extra_queries()["q3_nation_revenue"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -320,3 +320,27 @@ def test_source_stats_scan_prunes_columns(docs):
     # the agg needs only text+source — Catalyst prunes even the caller's
     # doc_id out of the scan
     assert "ReadSchema: struct<text:string,source:string>" in plan
+
+
+def test_semantic_dedup_assignment_narrow_pairs_one_cell_shuffle(spark):
+    """SemDeDup's scale contract: cell assignment (+ centroid cosine) is a
+    pure literal-centroid projection — no Exchange, no Python — and the
+    within-cell pair stage shares the grouped bucket core (ONE shuffle on
+    cell + the distinct, vectors move once; never all-pairs)."""
+    from ocr_spark.operators.similarity import (
+        assign_with_centroid_cos,
+        load_ivf_centroids,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = load_ivf_centroids()
+    assigned = assign_with_centroid_cos(emb, cents)
+    aplan = _plan(assigned)
+    assert "Exchange" not in aplan
+    assert "Python" not in aplan  # all-JVM HOF expressions
+
+    pplan = _plan(semantic_dedup_pairs(assigned, threshold=0.4))
+    assert "FlatMapGroupsInPandas" in pplan
+    assert "CartesianProduct" not in pplan
+    assert pplan.count("Exchange") == 2  # cell groupBy + pair distinct
