@@ -2169,6 +2169,36 @@ SELECT doc_id AS id, logit, logit >= 0 AS keep FROM sc
 """
 
 
+def _kmeans_cells(spark, sf_dir):
+    """Distributed spherical k-means (Lloyd) trained over the FULL
+    embeddings table as a Spark job — the scale path for building the
+    V5/V7 coarse quantizer (tools/train_ivf.py's driver-side sample
+    stops being representative at 10⁹ vectors). Fixed-point accumulation
+    makes the centroids independent of partitioning/AQE; pytest pins
+    bit-equality against a sequential reference and across repartitions.
+    Rows-only by design (iterative algorithm — per-iteration centroids
+    are data-dependent, not SQL-expressible); returns the per-cell size
+    and the 6-dp trained centroid."""
+    from ocr_spark.operators.similarity import (
+        assign_with_centroid_cos,
+        kmeans_fit_distributed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit_distributed(emb, 8, iters=4)
+    sizes = (
+        assign_with_centroid_cos(emb, cents)
+        .filter(F.col("cell").isNotNull())
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [round(x, 6) for x in c]) for i, c in enumerate(cents)],
+        "cell: int, centroid: array<double>",
+    )
+    return sizes.join(cent_df, "cell").orderBy("cell")
+
+
 def _dsir_importance(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023, hashed-unigram core):
     score every document by how much more likely its hashed token stream
@@ -2763,6 +2793,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": _bloom_decontaminate,
         "pack_summary": _pack_summary,
         "quality_classify": _quality_classify,
+        "kmeans_cells": _kmeans_cells,
         "q18_large_orders": _q18_large_orders,
         "w1_top_orders_per_customer": _w1_top_orders_per_customer,
         "q3_nation_revenue": _q3_nation_revenue,

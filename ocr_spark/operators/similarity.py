@@ -1026,3 +1026,148 @@ def semantic_dedup(
             F.coalesce("keep", F.lit(True)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means (Lloyd 1982) — trains the V5/V7 coarse
+# quantizer ON the cluster instead of on a driver-side sample, with
+# fixed-point accumulation so the result is independent of partitioning.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit_distributed(
+    df: DataFrame,
+    n_cells: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 8,
+    scale_bits: int = 20,
+    sample_n: int | None = None,
+) -> list[list[float]]:
+    """Train a spherical k-means quantizer over the FULL corpus as a Spark
+    job — the scale path behind :func:`train_ivf_centroids` (which trains
+    on a driver-collected sample; at 10⁹ vectors the sample stops being
+    representative and the trainer itself must distribute).
+
+    Per Lloyd iteration: assignment is the same narrow literal-centroid
+    argmax every downstream operator uses (first-max ties), and the mean
+    update is ONE groupBy(cell) with dim map-side-combined ``sum`` columns
+    — one Exchange per iteration carrying k·dim longs per partition, never
+    the vectors. The driver holds only the k×dim centroid table.
+
+    **Determinism contract**: double summation is order-dependent, so a
+    naive distributed mean changes with partitioning. Unit vectors are
+    therefore quantized ONCE to fixed-point longs — ``floor(u·2^scale_bits
+    + 0.5)`` — and the per-cell mean is an exact integer sum (commutative,
+    any partitioning/AQE plan) divided once on the driver. Retraining on a
+    repartitioned table is bit-identical; a pytest pins equality against a
+    sequential pure-Python reference. At 2²⁰ scaling the quantization error
+    per coordinate is ≤ 2⁻²¹ — far below k-means' own convergence noise —
+    and 10¹² unit coordinates sum to < 2⁴¹ · 2²⁰ « 2⁶³ (no overflow).
+
+    Init mirrors :func:`train_ivf_centroids`: the first ``n_cells``
+    distinct unit vectors among the ``sample_n`` lowest-id rows
+    (TakeOrderedAndProject — per-partition top-n, no global sort). Empty
+    cells keep their previous centroid. Normalization folds are strict
+    index-order (:func:`norm`), identical in the reference.
+    """
+    import math
+
+    from ocr_spark.operators.dedup import _free_checkpoint
+
+    if n_cells <= 0:
+        raise ValueError(f"n_cells must be positive, got {n_cells}")
+    if iters <= 0:
+        raise ValueError(f"iters must be positive, got {iters}")
+    if sample_n is None:
+        sample_n = max(4 * n_cells, 64)
+    scale = float(1 << scale_bits)
+    v = _as_double(vec_col)
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), v.alias("vd"))
+        .withColumn("_n", norm(F.col("vd")))
+        .filter(F.col("_n") > 0.0)
+        .withColumn("u", F.transform(F.col("vd"), lambda x: x / F.col("_n")))
+        .withColumn(
+            "q",
+            F.transform(
+                F.col("u"),
+                lambda x: F.floor(x * F.lit(scale) + F.lit(0.5)).cast("long"),
+            ),
+        )
+        .select("id", "u", "q")
+    )
+    first = base.select(F.size("u").alias("d")).first()
+    if first is None:
+        raise ValueError("no non-zero vectors to train on")
+    dim = int(first["d"])
+    # iterations re-scan this frame; truncate the lineage once so each pass
+    # reads materialized rows instead of replaying scan + normalization
+    base = base.localCheckpoint(eager=True)
+    try:
+        seed_rows = (
+            base.select("id", "u").orderBy(F.asc("id")).limit(sample_n).collect()
+        )
+        c: list[list[float]] = []
+        seen: set[tuple] = set()
+        for r in seed_rows:
+            key = tuple(r["u"])
+            if key not in seen:
+                seen.add(key)
+                c.append([float(x) for x in r["u"]])
+            if len(c) == n_cells:
+                break
+        if len(c) < n_cells:
+            raise ValueError(
+                f"only {len(c)} distinct unit vectors in the first "
+                f"{sample_n} ids for {n_cells} cells"
+            )
+
+        for _ in range(iters):
+            scores = F.array(
+                *[
+                    dot(
+                        F.col("u"),
+                        F.array(*[F.lit(float(x)) for x in cent]).cast(
+                            "array<double>"
+                        ),
+                    )
+                    for cent in c
+                ]
+            )
+            # each derived column in its own projection: no cross-expression
+            # CSE for HOF trees (the assign_with_centroid_cos staging rule)
+            assigned = (
+                base.withColumn("_sc", scores)
+                .withColumn("_mx", F.array_max("_sc"))
+                .withColumn(
+                    "cell",
+                    (F.array_position(F.col("_sc"), F.col("_mx")) - 1).cast(
+                        "int"
+                    ),
+                )
+                .select("cell", "q")
+            )
+            agg = assigned.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            nxt = [list(row) for row in c]
+            for row in agg.collect():
+                cnt = int(row["cnt"])
+                mean = [row[f"s{i}"] / (scale * cnt) for i in range(dim)]
+                acc = 0.0
+                for x in mean:  # strict index-order, mirrors norm()
+                    acc = acc + x * x
+                nn = math.sqrt(acc)
+                if nn > 0.0:
+                    nxt[int(row["cell"])] = [x / nn for x in mean]
+            c = nxt
+        return [[float(x) for x in row] for row in c]
+    finally:
+        _free_checkpoint(base)
