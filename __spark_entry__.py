@@ -1988,6 +1988,85 @@ HAVING ROUND(CAST(count(*) AS DOUBLE) / LEAST(sa.n, sb.n), 6) >= 0.5
 """
 
 
+#: ExactSubstr gate length: 50 chars (Lee et al. 2022 use 50 BPE tokens —
+#: chars keep the operator tokenizer-free); at sf0.01, 47 of 500 docs carry
+#: duplicated ≥50-char substrings, so the gate exercises real span work
+_SUBSTR_L = 50
+
+
+def _substr_dup_stats(spark, sf_dir):
+    """ExactSubstr span-level dedup (Lee et al., ACL'22): per-doc count /
+    chars / fraction of corpus-duplicated ≥50-char spans plus the md5 of
+    the span-stripped text — the hash pins the strip (interval merge +
+    re-concatenation) byte-for-byte against the oracle's independent
+    gaps-and-islands SQL formulation."""
+    from ocr_spark.operators.dedup import strip_duplicate_substrings
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = strip_duplicate_substrings(docs, min_len=_SUBSTR_L)
+    return out.select(
+        "doc_id",
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("dup_chars").cast("long").alias("dup_chars"),
+        "dup_char_frac",
+        F.md5("kept_text").alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
+#: duplicated-position detection re-derived in DuckDB (same 60-bit
+#: md5-prefix gram keys), then the classic gaps-and-islands interval merge
+#: (lag + running sum) — a deliberately DIFFERENT span-merge formulation
+#: than the engine's narrow array fold, so agreement checks the semantics,
+#: not a shared implementation
+_SUBSTR_DUP_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(text) - {_SUBSTR_L - 1}),
+           i -> {{'pos': i,
+                  'h': ('0x' || substring(md5(substring(text, i, {_SUBSTR_L})), 1, 15))::BIGINT}})) AS ph
+  FROM documents WHERE length(text) >= {_SUBSTR_L}
+),
+gg AS (SELECT doc_id, ph.pos AS pos, ph.h AS h FROM g),
+dup AS (SELECT h FROM gg GROUP BY h HAVING count(*) >= 2),
+cov AS (SELECT doc_id, pos FROM gg WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SUBSTR_L} THEN 0 ELSE 1 END AS brk
+  FROM cov
+),
+isl2 AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         FROM isl),
+spans AS (SELECT doc_id, min(pos) AS s, max(pos) + {_SUBSTR_L} AS e
+          FROM isl2 GROUP BY doc_id, grp),
+segs AS (
+  SELECT doc_id, s, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS f
+  FROM spans
+),
+perdoc AS (
+  SELECT d.doc_id,
+         CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(sg.e - sg.s) AS BIGINT) AS dup_chars,
+         string_agg(substring(d.text, sg.f, sg.s - sg.f), '' ORDER BY sg.s)
+           || substring(d.text, max(sg.e),
+                        greatest(length(d.text) - max(sg.e) + 1, 0)) AS kept
+  FROM documents d JOIN segs sg ON sg.doc_id = d.doc_id
+  GROUP BY d.doc_id, d.text
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CASE WHEN length(d.text) > 0
+            THEN ROUND(coalesce(p.dup_chars, 0) / length(d.text), 4)
+            ELSE NULL END AS dup_char_frac,
+       md5(coalesce(p.kept, d.text)) AS kept_md5
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 #: deterministic PII seeding for the redaction gate: the synthetic corpus
 #: contains no emails/IPs/numbers, so the query plants one of each per row
 #: (derived from doc_id, identically in Spark and DuckDB) — the oracle then
@@ -2655,9 +2734,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _curate_corpus,
         "winnow_near_dup": _winnow_near_dup,
         "winnow_containment": _winnow_containment,
+        # span-level exact-substring dedup (round-4 session-5 rotation:
+        # newest family gets a gate row; ann_lsh_topk — whose multi-probe
+        # sibling already lives in extras — displaced there)
+        "substr_dup_stats": _substr_dup_stats,
         # similarity search
         "ann_cosine_topk": _ann_cosine_topk,
-        "ann_lsh_topk": _ann_lsh_topk,
         "ivf_topk": _ivf_topk,
         "knn_join": _knn_join,
         "embedding_near_dup": _embedding_near_dup,
@@ -2726,8 +2808,8 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curate_sql(),
         "winnow_near_dup": _WINNOW_NEAR_DUP_SQL,
         "winnow_containment": _WINNOW_CONTAINMENT_SQL,
+        "substr_dup_stats": _SUBSTR_DUP_SQL,
         "ann_cosine_topk": _ANN_SQL,
-        "ann_lsh_topk": _ann_lsh_sql(),
         "ivf_topk": _ivf_sql(),
         "knn_join": _KNN_SQL,
         "embedding_near_dup": _emb_near_dup_sql(),
@@ -2767,7 +2849,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next round. The late-round-4 dsir_importance / cap_per_source pair
     DID rotate into the gate, displacing q18_large_orders and
     w1_top_orders_per_customer here (TPC-H shapes whose join-agg and
-    window-top-k siblings q1/q3/cap_per_source remain gated).
+    window-top-k siblings q1/q3/cap_per_source remain gated); session 5's
+    substr_dup_stats (ExactSubstr span dedup) rotated in displacing
+    ann_lsh_topk here (its multi-probe sibling was already an extra, and
+    ivf_topk keeps a bucketed-ANN shape gated).
     Kept out of the driver's 50-row gate so every distinct operator family
     gets a recorded row there; run them with
     ``python tools/check_oracles.py --extended``."""
@@ -2776,6 +2861,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _simhash,
         "dedup_corpus": _dedup_corpus,
         "ann_cosine_topk_np": _ann_cosine_topk_np,
+        "ann_lsh_topk": _ann_lsh_topk,
         "ann_lsh_topk_mp": _ann_lsh_topk_mp,
         "a2_events_by_date": _a2_events_by_date,
         "a12_approx_distinct": _a12_approx_distinct,
@@ -2806,6 +2892,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_SQL,
         "dedup_corpus": _DEDUP_CORPUS_SQL,
         "ann_cosine_topk_np": _ANN_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
         "ann_lsh_topk_mp": _ann_lsh_mp_sql(),
         "a2_events_by_date": _A2_SQL,
         "a12_distinct_users": _A12_SQL,

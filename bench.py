@@ -50,6 +50,7 @@ HEADLINE = [
     "simhash_near_dup",
     "decontaminate",
     "curate_corpus",
+    "substr_dup_stats",
     "ann_cosine_topk",
     "ivf_topk",
     "knn_join",

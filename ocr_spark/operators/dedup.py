@@ -705,6 +705,169 @@ def winnow_near_duplicates(
     return jaccard_pairs_from_exploded(sized, threshold, max_doc_freq, metric)
 
 
+#: ExactSubstr default: a substring must be ≥ 50 chars and occur ≥ 2 times
+#: corpus-wide to be stripped (Lee et al. 2022 use 50 BPE tokens; chars keep
+#: the operator tokenizer-free and the spans exact on the raw text)
+EXACT_SUBSTR_MIN_LEN = 50
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = EXACT_SUBSTR_MIN_LEN,
+) -> DataFrame:
+    """Span-level exact-substring duplicate detection — the ExactSubstr
+    method of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", ACL'22) re-expressed relationally: a char position is
+    duplicated iff the ``min_len``-gram starting there occurs ≥ 2 times in
+    the CORPUS (any substring of length ≥ min_len occurring twice makes all
+    its min_len-grams occur twice, so the union of duplicated-gram spans is
+    exactly the union of all duplicated substrings of length ≥ min_len —
+    the paper's removal set, without its monolithic suffix array).
+
+    Returns one row per document that contains at least one duplicated
+    span: (id, dup_spans array<struct<s,e>> half-open 1-based char
+    intervals sorted ascending, n_dup_spans, dup_chars). Self-repeats
+    count: a substring occurring twice WITHIN one document is duplicated,
+    matching the paper.
+
+    Scale shape: the gram stream is O(total corpus chars) rows — the same
+    cost class as the paper's suffix array, but embarrassingly parallel
+    instead of a single sorted structure. Three shuffles total: (1) the
+    duplicated-gram dictionary via groupBy(hash).count ≥ 2 — map-side
+    partial combine absorbs hot boilerplate grams before the exchange;
+    (2) one join of the (id, pos, hash) stream against that dictionary
+    (AQE broadcasts it when small, skew-splits hot grams otherwise);
+    (3) groupBy(id) over COVERED positions only (bounded per doc by doc
+    length — the same memory class as the document itself). Interval
+    merging and span arithmetic are narrow JVM array expressions. Gram
+    hashes use the family's 60-bit md5-prefix key (one md5 per char
+    position — the same per-char hashing budget as winnowing): at 10¹⁴
+    grams the birthday bound yields ~4×10⁶ false-positive positions
+    corpus-wide (≪ one per million docs, each costing ≤ min_len spuriously
+    stripped chars — one-sided, never false negatives); deployments that
+    cannot accept that widen the key to the full md5 hex."""
+    if min_len <= 0:
+        raise ValueError(f"min_len must be positive, got {min_len}")
+    text, L = F.col(text_col), min_len
+    # stage 1 (narrow): per-row gram-hash array, one projection so the
+    # text is substring-hashed exactly once per position
+    grams = F.when(
+        F.length(text) >= L,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - L + 1),
+            lambda i: F.conv(
+                F.substring(F.md5(text.substr(i, F.lit(L))), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    staged = df.select(F.col(id_col).alias("id"), grams.alias("_gh"))
+    stream = posexplode_nonnull(staged, "_gh", "_p0", "_h", "id").select(
+        "id", (F.col("_p0") + 1).alias("pos"), "_h"
+    )
+    dup_keys = (
+        stream.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_h")
+    )
+    covered = stream.join(dup_keys, "_h").select("id", "pos")
+    per_doc = covered.groupBy("id").agg(
+        F.array_sort(F.collect_list("pos")).alias("_ps")
+    )
+    # narrow span derivation over the sorted covered positions: two
+    # covered grams merge iff their [p, p+L) intervals overlap or touch
+    # (next - prev <= L); starts/ends picked by index, when() keeps the
+    # 1-based element_at lookups off the out-of-range branches
+    ps = F.col("_ps")
+    idx = F.transform(ps, lambda p, i: F.struct(p.alias("p"), i.alias("i")))
+    starts = F.transform(
+        F.filter(
+            idx,
+            lambda x: F.when(x["i"] == 0, F.lit(True)).otherwise(
+                x["p"] - F.element_at(ps, x["i"]) > L
+            ),
+        ),
+        lambda x: x["p"],
+    )
+    ends = F.transform(
+        F.filter(
+            idx,
+            lambda x: F.when(x["i"] == F.size(ps) - 1, F.lit(True)).otherwise(
+                F.element_at(ps, x["i"] + 2) - x["p"] > L
+            ),
+        ),
+        lambda x: x["p"] + L,
+    )
+    spans = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+    )
+    return per_doc.select(
+        "id",
+        spans.alias("dup_spans"),
+        F.size(spans).alias("n_dup_spans"),
+        F.aggregate(
+            spans, F.lit(0), lambda acc, sp: acc + sp["e"] - sp["s"]
+        ).alias("dup_chars"),
+    )
+
+
+def strip_duplicate_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = EXACT_SUBSTR_MIN_LEN,
+) -> DataFrame:
+    """ExactSubstr span removal: every duplicated span found by
+    :func:`exact_substring_spans` is cut from the text and the remainder
+    re-concatenated. ALL occurrences are removed — the released
+    deduplicate-text-datasets tool's behavior; keeping one canonical copy
+    would need a global choice of survivor per substring, which breaks the
+    embarrassing parallelism (and the paper reports the all-copies variant
+    trains fine because each removed span occurred elsewhere pre-dedup).
+
+    Returns the input columns plus (n_dup_spans, dup_chars,
+    dup_char_frac rounded 4dp, kept_text). Documents without duplicated
+    spans pass through byte-identical (kept_text = text); NULL text stays
+    NULL. The strip itself is one narrow JVM fold over the span array —
+    the only shuffles are the three inside the span detection."""
+    spans_df = exact_substring_spans(df, text_col, id_col, min_len)
+    joined = df.join(
+        spans_df.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    text = F.col(text_col)
+    sp = F.coalesce(
+        F.col("dup_spans"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+    )
+    kept = F.aggregate(
+        sp,
+        F.struct(F.lit(1).alias("nxt"), F.lit("").alias("acc")),
+        lambda a, x: F.struct(
+            x["e"].alias("nxt"),
+            F.concat(a["acc"], text.substr(a["nxt"], x["s"] - a["nxt"])).alias(
+                "acc"
+            ),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            text.substr(
+                a["nxt"], F.greatest(F.length(text) - a["nxt"] + 1, F.lit(0))
+            ),
+        ),
+    )
+    return joined.select(
+        *df.columns,
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+        F.round(
+            F.coalesce("dup_chars", F.lit(0)) / F.length(text), 4
+        ).alias("dup_char_frac"),
+        kept.alias("kept_text"),
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

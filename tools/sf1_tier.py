@@ -29,7 +29,8 @@ sys.path.insert(0, str(REPO))
 DOC_QUERIES = [
     "exact_dedup", "minhash_near_dup", "jaccard_near_dup", "dedup_clusters",
     "simhash_near_dup", "decontaminate", "stratified_sample", "curate_corpus",
-    "winnow_near_dup", "winnow_containment", "lang_id_counts",
+    "winnow_near_dup", "winnow_containment", "substr_dup_stats",
+    "lang_id_counts",
     "bpe_token_counts", "pii_redaction", "source_stats", "training_shards",
     "gopher_repetition", "unigram_nll",
     # extras (need --extended)
