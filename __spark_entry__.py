@@ -2351,6 +2351,130 @@ SELECT doc_id, source, quality_score FROM ranked WHERE rn <= 10
 """
 
 
+#: BM25 gate config: common terms + one rare term ('dup', df≈25 at
+#: sf0.01) so the idf spread actually reorders documents
+_BM25_TERMS = ["spark", "window", "merge", "dup"]
+_BM25_K = 15
+_BM25_QUERY_TABLE = [
+    (1, ["spark", "window", "merge", "dup"]),
+    (2, ["scan", "data", "vector"]),
+    (3, ["dup", "line"]),
+]
+
+
+def _bm25_topk(spark, sf_dir):
+    """Okapi BM25 keyword top-k (single ad-hoc query, narrow shape): the
+    lexical complement to the vector ANN family."""
+    from ocr_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+def _bm25_join(spark, sf_dir):
+    """Per-query BM25 top-k over a literal query table (posting-list
+    shape) — ranks carried so the oracle pins the full ordering."""
+    from ocr_spark.operators.retrieval import bm25_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qdf = spark.createDataFrame(
+        _BM25_QUERY_TABLE, "query_id long, terms array<string>"
+    )
+    return bm25_join(docs, qdf, k=10)
+
+
+def _bm25_consts() -> tuple[str, str, str, str]:
+    """The exact double literals the Spark expressions fold at plan-build
+    time (k1+1.0 and 1.0-b evaluate in Python), rendered with repr so the
+    oracle's arithmetic is bit-identical up to DuckDB's ln."""
+    from ocr_spark.operators.retrieval import BM25_B, BM25_K1
+
+    return (
+        repr(BM25_K1 + 1.0),
+        repr(BM25_K1),
+        repr(1.0 - BM25_B),
+        repr(BM25_B),
+    )
+
+
+def _bm25_topk_sql() -> str:
+    k1p1, k1, omb, b = _bm25_consts()
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = "\n         + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1p1}) / (tf{i} + {k1} * ({omb} + {b} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '{WORD_RE}') AS toks
+           FROM documents),
+d AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM t
+),
+s AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {df_cols}
+      FROM d),
+scored AS (
+  SELECT doc_id AS id, ROUND({contribs}, 4) AS score
+  FROM d, s
+)
+SELECT id, score FROM scored WHERE score > 0
+ORDER BY score DESC, id LIMIT {_BM25_K}
+"""
+
+
+def _bm25_join_sql() -> str:
+    k1p1, k1, omb, b = _bm25_consts()
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in _BM25_QUERY_TABLE
+        for t in terms
+    )
+    return f"""
+WITH qterms(qid, term) AS (VALUES {qvals}),
+t AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '{WORD_RE}') AS toks
+      FROM documents),
+s AS (SELECT count(*) AS n,
+             CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+      FROM t),
+posting AS (
+  SELECT doc_id, len(toks) AS dl, term, count(*) AS tf
+  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM t)
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, len(toks), term
+),
+dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+scored AS (
+  SELECT q.qid, p.doc_id,
+         ROUND(sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * {k1p1})
+               / (p.tf + {k1} * ({omb} + {b} * p.dl / s.avgdl))), 4) AS score
+  FROM posting p
+  JOIN qterms q USING (term) JOIN dfreq f USING (term) CROSS JOIN s
+  GROUP BY q.qid, p.doc_id
+),
+ranked AS (
+  SELECT CAST(qid AS BIGINT) AS query_id, doc_id AS id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def _mixture_summary(spark, sf_dir):
     """Token-weighted corpus mixing: thresholds derived from a 20k-token
     budget split 40/30/20/10 across sources, plus the achieved kept
@@ -2883,6 +3007,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "w1_top_orders_per_customer": _w1_top_orders_per_customer,
         "q3_nation_revenue": _q3_nation_revenue,
+        "bm25_topk": _bm25_topk,
+        "bm25_join": _bm25_join,
     }
 
 
@@ -2912,6 +3038,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "q18_large_orders": _Q18_SQL,
         "w1_top_orders_per_customer": _W1_SQL,
         "q3_nation_revenue": _Q3_SQL,
+        "bm25_topk": _bm25_topk_sql(),
+        "bm25_join": _bm25_join_sql(),
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

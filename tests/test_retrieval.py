@@ -1,0 +1,146 @@
+"""BM25 lexical retrieval vs a direct Python reference, topk==join
+cross-shape equality, validations, and the plan shapes each variant
+claims (topk: zero corpus shuffle + TakeOrderedAndProject; join: no
+cartesian, partial-agg postings)."""
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.retrieval import BM25_B, BM25_K1, bm25_join, bm25_topk
+
+DOCS = [
+    (1, "spark window merge join the fast table scan"),
+    (2, "window window window merge slow"),
+    (3, "completely unrelated words appear here often"),
+    (4, "spark spark spark spark window"),
+    (5, "merge merge scan scan scan window spark data data"),
+    (6, None),
+    (7, "tiny doc"),
+]
+
+
+def _tok(t):
+    return re.findall(r"[a-z]{3,}", t.lower()) if t else []
+
+
+def _ref(docs, terms, k1=BM25_K1, b=BM25_B):
+    toks = {d: _tok(t) for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for d in toks:
+        s, hit = 0.0, False
+        for t in terms:
+            tf = toks[d].count(t)
+            dfq = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+            s += (
+                idf
+                * (tf * (k1 + 1.0))
+                / (tf + k1 * (1.0 - b + b * len(toks[d]) / avgdl))
+            )
+            hit = hit or tf > 0
+        if hit:
+            out[d] = round(s, 4)
+    return sorted(out.items(), key=lambda x: (-x[1], x[0]))
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_topk_matches_reference(docs_df):
+    q = ["spark", "window", "merge"]
+    got = [(r["id"], r["score"]) for r in bm25_topk(docs_df, q, k=10).collect()]
+    assert got == _ref(DOCS, q)
+
+
+def test_topk_k_truncates_in_rank_order(docs_df):
+    q = ["spark", "window", "merge"]
+    got = [(r["id"], r["score"]) for r in bm25_topk(docs_df, q, k=2).collect()]
+    assert got == _ref(DOCS, q)[:2]
+
+
+def test_join_matches_topk_and_reference(spark, docs_df):
+    q1, q2 = ["spark", "window", "merge"], ["scan", "data"]
+    qdf = spark.createDataFrame(
+        [(100, q1), (200, q2)], "query_id long, terms array<string>"
+    )
+    rows = sorted(
+        bm25_join(docs_df, qdf, k=3).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    by_q = {
+        qid: [(r["id"], r["score"]) for r in rows if r["query_id"] == qid]
+        for qid in (100, 200)
+    }
+    assert by_q[100] == _ref(DOCS, q1)[:3]
+    assert by_q[200] == _ref(DOCS, q2)[:3]
+    assert [r["rank"] for r in rows if r["query_id"] == 100] == [1, 2, 3]
+
+
+def test_rare_term_outranks_common_on_equal_tf(spark):
+    # idf check: one doc matching a rare term beats one matching a common
+    # term at identical tf/dl
+    docs = [(i, "common filler words here") for i in range(1, 9)]
+    docs += [(9, "rare filler words here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bm25_topk(df, ["rare", "common"], k=1).collect()
+    assert got[0]["id"] == 9
+
+
+def test_validations(docs_df):
+    with pytest.raises(ValueError):
+        bm25_topk(docs_df, [])
+    with pytest.raises(ValueError):
+        bm25_topk(docs_df, ["spark", "spark"])
+    with pytest.raises(ValueError):
+        bm25_topk(docs_df, ["spark"], k=0)
+    with pytest.raises(ValueError):
+        bm25_topk(docs_df, ["spark"], b=1.5)
+
+
+def test_join_rejects_duplicate_terms_in_query(spark, docs_df):
+    bad = spark.createDataFrame(
+        [(1, ["scan", "scan"])], "query_id long, terms array<string>"
+    )
+    with pytest.raises(Exception, match="duplicate terms in query 1"):
+        bm25_join(docs_df, bad).collect()
+
+
+def test_topk_plan_never_shuffles_corpus(docs_df):
+    plan = (
+        bm25_topk(docs_df, ["spark", "merge"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    assert "Python" not in plan
+    # the only exchange is the one-row stats aggregate (SinglePartition);
+    # the scored corpus itself never hash-shuffles (the BNLJ cross in the
+    # plan is the 1-row broadcast stats frame — the unigram_nll idiom)
+    assert "Exchange hashpartitioning" not in plan
+    # the tokenizer must run ONCE per row per side (corpus pass + stats
+    # pass): a match-filter pushed under the projection used to inline it
+    assert plan.count("regexp_extract_all") == 2
+
+
+def test_join_plan_partial_agg_no_cartesian(spark, docs_df):
+    qdf = spark.createDataFrame(
+        [(1, ["spark", "merge"])], "query_id long, terms array<string>"
+    )
+    plan = (
+        bm25_join(docs_df, qdf, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "partial_count" in plan  # map-side combine on the tf aggregate
