@@ -2248,6 +2248,27 @@ SELECT doc_id AS id, logit, logit >= 0 AS keep FROM sc
 """
 
 
+def _bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training over the documents table as a
+    Spark job (one pair-count aggregate + one narrow merge rewrite per
+    iteration over the word-type vocabulary) — the corpus-scale path for
+    building functions/bpe's merges table; tools/train_bpe.py's
+    driver-side text collection stops being possible at lake scale.
+    Rows-only by design (iterative, per-iteration argmax data-dependent —
+    the kmeans_cells class); pytest pins bit-equality against the
+    sequential reference. At sf0.01 the first 30 rows equal the first 30
+    lines of the SHIPPED ocr_spark/data/bpe_merges.txt, which
+    tools/train_bpe.py trained on the same corpus."""
+    from ocr_spark.operators.tokenizer import train_bpe_distributed
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    merges = train_bpe_distributed(docs, n_merges=30)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).orderBy("rank")
+
+
 def _kmeans_cells(spark, sf_dir):
     """Distributed spherical k-means (Lloyd) trained over the FULL
     embeddings table as a Spark job — the scale path for building the
@@ -3009,6 +3030,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_nation_revenue": _q3_nation_revenue,
         "bm25_topk": _bm25_topk,
         "bm25_join": _bm25_join,
+        "bpe_train_merges": _bpe_train_merges,
     }
 
 
