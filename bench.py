@@ -52,6 +52,8 @@ HEADLINE = [
     "curate_corpus",
     "substr_dup_stats",
     "ann_cosine_topk",
+    "bm25_topk",
+    "bm25_join",
     "ivf_topk",
     "knn_join",
     "embedding_near_dup",

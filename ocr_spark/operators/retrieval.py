@@ -167,8 +167,13 @@ def bm25_join(
     qex = queries.select(
         F.col(query_id_col).alias("qid"),
         F.when(
-            F.size(F.col(terms_col))
-            == F.size(F.array_distinct(F.col(terms_col))),
+            # NULL terms pass through (and explode to nothing) rather
+            # than falling into the error branch via NULL == NULL
+            F.col(terms_col).isNull()
+            | (
+                F.size(F.col(terms_col))
+                == F.size(F.array_distinct(F.col(terms_col)))
+            ),
             F.col(terms_col),
         )
         .otherwise(

@@ -113,6 +113,14 @@ def test_join_rejects_duplicate_terms_in_query(spark, docs_df):
         bm25_join(docs_df, bad).collect()
 
 
+def test_join_null_terms_query_yields_nothing(spark, docs_df):
+    qdf = spark.createDataFrame(
+        [(1, None), (2, ["spark"])], "query_id long, terms array<string>"
+    )
+    rows = bm25_join(docs_df, qdf, k=3).collect()
+    assert {r["query_id"] for r in rows} == {2}
+
+
 def test_topk_plan_never_shuffles_corpus(docs_df):
     plan = (
         bm25_topk(docs_df, ["spark", "merge"], k=5)

@@ -38,6 +38,7 @@ DOC_QUERIES = [
     "token_counts", "winnow_fingerprints", "doc_tf_embeddings", "doc_quality",
     "mixture_summary", "bloom_decontaminate", "pack_summary",
     "dsir_importance", "cap_per_source",
+    "bm25_topk", "bm25_join", "bpe_train_merges",
 ]
 SIM_QUERIES = [
     "ann_cosine_topk", "ann_lsh_topk", "ivf_topk", "knn_join",
