@@ -61,6 +61,8 @@ HEADLINE = [
     "asof_signup_attribution",
     "range_join_error_sessions",
     "lang_id_counts",
+    "line_strip",
+    "rrf_fusion",
     "doc_quality",
     "gopher_repetition",
     "unigram_nll",

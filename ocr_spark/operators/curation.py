@@ -444,3 +444,94 @@ def cap_per_source(
         .filter(F.col("_cap_rn") <= n_per_source)
         .drop("_cap_rn")
     )
+
+
+def line_strip(
+    docs: DataFrame,
+    max_doc_freq: int = 2,
+    delimiter: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_boiler: bool = True,
+) -> DataFrame:
+    """Corpus-level line-frequency boilerplate strip (the CCNet/C4 gate:
+    a line appearing verbatim in many documents is navigation chrome /
+    cookie banners / license headers, not content — reference parity:
+    the reference strips per-page boilerplate inside its extractor loop,
+    this is the corpus-wide relational form). Splits every document on
+    ``delimiter``, counts for each non-empty line the number of DISTINCT
+    documents containing it, removes every occurrence of lines whose
+    document frequency exceeds ``max_doc_freq``, and reassembles the
+    survivors in original order. Returns
+    ``(id_col, clean_text, n_lines, n_removed)`` — one row per input
+    document (documents whose every line is boilerplate survive with
+    ``clean_text = ''``; NULL text yields ``('', 0, 0)``).
+
+    Exactness contract: pure string ops — split keeps trailing empty
+    segments (limit −1, mirroring DuckDB ``string_split``), empty
+    segments are always kept and never counted, reassembly joins with
+    the same delimiter. No floats anywhere.
+
+    Scale shape (100 TB): df(line) is a two-stage distinct aggregate —
+    ``(line, id).distinct()`` then a map-side-combined count — so a line
+    occurring in billions of documents never concentrates in one task;
+    the strip itself is a broadcast LEFT ANTI join against the df>cap
+    set, which is small by construction (≤ total_lines / max_doc_freq
+    distinct values, and in practice the boilerplate tail — pass
+    ``broadcast_boiler=False`` to let AQE pick a shuffle anti-join when
+    the threshold is aggressive enough to make it big). Reassembly is
+    ONE ``sort_array(collect_list(struct(pos, line)))`` per document —
+    bounded by lines-per-document, the same per-group contract as the T8
+    assembly (see extraction.assemble_docs' segmenting guard for the
+    pathological-document escape hatch). The delimiter is a literal, not
+    a regex (escaped before ``F.split``).
+    """
+    import re as _re
+
+    if max_doc_freq < 1:
+        raise ValueError(f"max_doc_freq must be >= 1, got {max_doc_freq}")
+    if delimiter == "":
+        raise ValueError("delimiter must be non-empty")
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), _re.escape(delimiter), -1).alias("_ls"),
+    )
+    lines = staged.select(
+        "id", F.posexplode("_ls").alias("pos", "line")
+    )
+    boiler = (
+        lines.filter(F.col("line") != "")
+        .select("line", "id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("line")
+    )
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
+    kept = lines.join(boiler, "line", "left_anti")
+    packed = F.struct(F.col("pos").alias("p"), F.col("line").alias("t"))
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(packed)), lambda s: s["t"]
+            ),
+            delimiter,
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = staged.select(
+        "id", F.coalesce(F.size("_ls"), F.lit(0)).alias("_n_lines")
+    )
+    return (
+        totals.join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+            F.col("_n_lines").cast("int").alias("n_lines"),
+            (F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

@@ -220,3 +220,74 @@ def bm25_join(
             F.col("qid").alias("query_id"), "id", "score", "rank"
         )
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    N per-query rankings — the standard hybrid-retrieval combiner (e.g.
+    BM25 lexical + embedding-cosine semantic, or relevance + a
+    query-independent quality prior): fused(d) = Σ_lists 1/(k_rrf +
+    rank_d), a document absent from a list contributing 0. Inputs share
+    the (query_id, id, rank) contract that bm25_join and knn_join emit
+    (rank 1-based, unique within a (list, query)). Returns
+    ``(query_id, id, score, rank)`` with rank 1..k per query, ties
+    broken (score desc, id asc).
+
+    Determinism contract: the fused score is computed as ONE
+    fixed-order expression over per-list ranks (the lists are pivoted
+    to columns first — ``min(when(src=i, rank))`` is pure selection
+    since ranks are unique), never a shuffle-order float sum, so both
+    engines execute the identical IEEE op sequence and the doubles are
+    bit-equal with no rounding needed — 1/(k+r) has no transcendental.
+
+    Scale shape: a unionByName of the (already small — top-k per query
+    per list) rankings, one hash aggregate on (query, id) doing the
+    pivot, one per-query window over ≤ N·k rows. The expensive work
+    lives in the upstream rankers; fusion itself is O(queries · k · N)
+    rows end to end, never touching the corpus."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    _validate(k, 1.0, 0.5)
+    if k_rrf < 1:
+        raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
+    if len(ranked) < 2:
+        raise ValueError(f"need >= 2 rankings to fuse, got {len(ranked)}")
+    tagged = [
+        df.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(id_col).alias("id"),
+            F.lit(i).alias("_src"),
+            F.col(rank_col).alias("_r"),
+        )
+        for i, df in enumerate(ranked)
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), tagged)
+    pivoted = unioned.groupBy("qid", "id").agg(
+        *[
+            F.min(F.when(F.col("_src") == i, F.col("_r"))).alias(f"_r{i}")
+            for i in range(len(ranked))
+        ]
+    )
+    score = None
+    for i in range(len(ranked)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(f"_r{i}")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        pivoted.select("qid", "id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "id", "score", "rank")
+    )

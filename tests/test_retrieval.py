@@ -152,3 +152,136 @@ def test_join_plan_partial_agg_no_cartesian(spark, docs_df):
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
     assert "partial_count" in plan  # map-side combine on the tf aggregate
+
+
+# ---------------------------------------------------------------- RRF ----
+
+RANKED_A = [  # (query_id, id, rank) — e.g. BM25
+    (1, 10, 1), (1, 11, 2), (1, 12, 3),
+    (2, 20, 1), (2, 21, 2),
+]
+RANKED_B = [  # e.g. cosine / quality prior
+    (1, 11, 1), (1, 13, 2),
+    (2, 21, 1), (2, 20, 2), (2, 22, 3),
+]
+
+
+def _rrf_ref(lists, k_rrf=60, k=10):
+    """Fixed-order Python reference: per (query, doc), sum the per-list
+    reciprocal ranks in LIST ORDER — the same IEEE op sequence the
+    operator's pivot-then-fixed-expression emits."""
+    keys = sorted({(q, d) for lst in lists for q, d, _ in lst})
+    out = {}
+    for q, d in keys:
+        s = 0.0
+        for lst in lists:
+            r = next((r for qq, dd, r in lst if (qq, dd) == (q, d)), None)
+            s = s + (1.0 / (float(k_rrf) + r) if r is not None else 0.0)
+        out.setdefault(q, []).append((d, s))
+    res = {}
+    for q, items in out.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        res[q] = [(d, s, i + 1) for i, (d, s) in enumerate(items[:k])]
+    return res
+
+
+def _mk_ranked(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, id long, rank int"
+    )
+
+
+def test_rrf_matches_reference_bit_exact(spark):
+    from ocr_spark.operators.retrieval import rrf_fuse
+
+    got = rrf_fuse(
+        [_mk_ranked(spark, RANKED_A), _mk_ranked(spark, RANKED_B)], k=10
+    ).collect()
+    want = _rrf_ref([RANKED_A, RANKED_B])
+    got_by_q = {}
+    for r in got:
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["id"], r["score"], r["rank"])
+        )
+    for q in got_by_q:
+        got_by_q[q].sort(key=lambda t: t[2])
+    # == on floats: the contract is BIT equality (fixed-order IEEE sum,
+    # no transcendental), not approx-equality
+    assert got_by_q == want
+
+
+def test_rrf_absent_doc_contributes_zero(spark):
+    from ocr_spark.operators.retrieval import rrf_fuse
+
+    rows = {
+        (r["query_id"], r["id"]): r["score"]
+        for r in rrf_fuse(
+            [_mk_ranked(spark, RANKED_A), _mk_ranked(spark, RANKED_B)]
+        ).collect()
+    }
+    assert rows[(1, 10)] == 1.0 / 61.0          # list A only
+    assert rows[(1, 13)] == 1.0 / 62.0          # list B only
+    assert rows[(1, 11)] == 1.0 / 62.0 + 1.0 / 61.0
+
+
+def test_rrf_consensus_beats_single_list_winner(spark):
+    from ocr_spark.operators.retrieval import rrf_fuse
+
+    top = {
+        r["query_id"]: r["id"]
+        for r in rrf_fuse(
+            [_mk_ranked(spark, RANKED_A), _mk_ranked(spark, RANKED_B)]
+        )
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    # doc 11 (ranks 2+1) outscores doc 10 (rank 1, one list):
+    # 1/62+1/61 > 1/61
+    assert top[1] == 11
+    # doc 21 (2nd+1st) vs doc 20 (1st+2nd): equal score — id tie-break
+    assert top[2] == 20
+
+
+def test_rrf_three_lists_and_k_cut(spark):
+    from ocr_spark.operators.retrieval import rrf_fuse
+
+    c = [(1, 12, 1), (1, 10, 2)]
+    lists = [RANKED_A, RANKED_B, c]
+    got = rrf_fuse([_mk_ranked(spark, r) for r in lists], k=2).collect()
+    want = _rrf_ref(lists, k=2)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["id"], r["score"], r["rank"])
+        )
+    for q in by_q:
+        by_q[q].sort(key=lambda t: t[2])
+        assert len(by_q[q]) <= 2
+    assert by_q == want
+
+
+def test_rrf_validations(spark):
+    from ocr_spark.operators.retrieval import rrf_fuse
+
+    one = _mk_ranked(spark, RANKED_A)
+    with pytest.raises(ValueError, match="2 rankings"):
+        rrf_fuse([one])
+    with pytest.raises(ValueError, match="k_rrf"):
+        rrf_fuse([one, one], k_rrf=0)
+    with pytest.raises(ValueError, match="k must be positive"):
+        rrf_fuse([one, one], k=0)
+
+
+def test_rrf_plan_has_no_corpus_shuffle(spark):
+    """Fusion is union → one hash aggregate → one window: no join node
+    at all (the pivot replaces a self-join)."""
+    from ocr_spark.operators.retrieval import rrf_fuse
+
+    plan = (
+        rrf_fuse([_mk_ranked(spark, RANKED_A), _mk_ranked(spark, RANKED_B)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "Union" in plan and "Window" in plan
