@@ -129,6 +129,18 @@ def main() -> int:
     for name in HEADLINE:
         reps[name] = [_timed(name) for _ in range(REPS)]
 
+    # per-query self-defense (same rationale as the flagship's below, at
+    # lower cost): a shared-VM contention burst hitting 1-2 of 3 reps
+    # still inflates the MEDIAN, so any query whose spread exceeds its
+    # median gets up to 2 extra reps — an intermittent burst then leaves
+    # >=3 clean reps for the median while a genuine regression (all reps
+    # agreeing) spends nothing. Capped so a fully-contended box cannot
+    # stretch the suite unboundedly.
+    for name in HEADLINE:
+        r = reps[name]
+        if (max(r) - min(r)) > max(0.5, statistics.median(r)):
+            r.extend(_timed(name) for _ in range(2))
+
     # flagship self-defense: the north metric must not be a noise artifact.
     # Stability is judged over the LAST 3 reps: early-session reps measure
     # JVM heap growth and page-cache warm-up (stage forensics: the same
