@@ -2518,7 +2518,10 @@ def _line_strip(spark, sf_dir):
 
 
 def _line_strip_sql() -> str:
-    d = _LINE_STRIP_DELIM
+    # the delimiter is interpolated into SQL string literals below —
+    # escape single quotes so a future delimiter change cannot inject
+    # syntax (the Spark side re.escape's it; this is the SQL analogue)
+    d = _LINE_STRIP_DELIM.replace("'", "''")
     return f"""
 WITH s AS (SELECT doc_id, string_split(text, '{d}') AS ls FROM documents),
 l AS (SELECT doc_id, unnest(ls) AS line, unnest(range(len(ls))) AS pos
@@ -2984,7 +2987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_export": _s5_export,
         "s6_import_merge": _s6_import_merge,
         "t8_event_sessions": _t8_event_sessions,
-        "t8_assembled_docs": _t8_assembled_docs,
         "asof_signup_attribution": _asof_signup_attribution,
         "range_join_error_sessions": _range_join_error_sessions,
         "j2_unknown_antijoin": _j2_unknown_antijoin,
@@ -2998,7 +3000,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "curate_corpus": _curate_corpus,
         "winnow_near_dup": _winnow_near_dup,
-        "winnow_containment": _winnow_containment,
         # span-level exact-substring dedup (round-4 session-5 rotation:
         # newest family gets a gate row; ann_lsh_topk — whose multi-probe
         # sibling already lives in extras — displaced there)
@@ -3019,6 +3020,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a TPC-H bonus shape whose join-agg siblings q3/q5/q18 live in
         # extras — displaced there)
         "rrf_fusion": _rrf_fusion,
+        # BM25 lexical retrieval, both physical shapes (round-5 rotation:
+        # the only round-4 family with no gate row of its own gets two —
+        # t8_assembled_docs and winnow_containment, each the second shape
+        # of a family whose sibling stays gated, displaced to extras)
+        "bm25_topk": _bm25_topk,
+        "bm25_join": _bm25_join,
         # multimodal (real stdlib codecs + numpy pixel ops)
         "media_image_features": _media_image_features,
         "media_audio_features": _media_audio_features,
@@ -3064,7 +3071,6 @@ def oracle_sql() -> dict[str, str]:
         "s5_export": _s5_sql(),
         "s6_import_merge": _s6_sql(),
         "t8_event_sessions": _T8_SQL,
-        "t8_assembled_docs": _T8_ASSEMBLED_SQL,
         "asof_signup_attribution": _ASOF_SQL,
         "range_join_error_sessions": _RANGE_JOIN_SQL,
         "j2_unknown_antijoin": _J2_SQL,
@@ -3077,7 +3083,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SQL,
         "curate_corpus": _curate_sql(),
         "winnow_near_dup": _WINNOW_NEAR_DUP_SQL,
-        "winnow_containment": _WINNOW_CONTAINMENT_SQL,
         "substr_dup_stats": _SUBSTR_DUP_SQL,
         "line_strip": _line_strip_sql(),
         "ann_cosine_topk": _ANN_SQL,
@@ -3086,6 +3091,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _emb_near_dup_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "rrf_fusion": _rrf_fusion_sql(),
+        "bm25_topk": _bm25_topk_sql(),
+        "bm25_join": _bm25_join_sql(),
         "lang_id_counts": _langid_sql(),
         "gopher_repetition": _GOPHER_REPETITION_SQL,
         "unigram_nll": _UNIGRAM_NLL_SQL,
@@ -3128,7 +3135,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     retrieval) rotated in displacing a10_value_quantiles (bonus
     aggregate, pivot/approx siblings already extras) and q1_pricing (the
     last gated TPC-H bonus shape — q1/q3/q5/q18/w1 now all live here,
-    all still --extended-verified).
+    all still --extended-verified). Round 5 rotated bm25_topk/bm25_join
+    into the gate (the only round-4 family without a gate row of its
+    own), displacing t8_assembled_docs and winnow_containment here —
+    each the second physical shape of a family whose sibling
+    (t8_event_sessions, winnow_near_dup) stays gated.
     Kept out of the driver's 50-row gate so every distinct operator family
     gets a recorded row there; run them with
     ``python tools/check_oracles.py --extended``."""
@@ -3161,8 +3172,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_nation_revenue": _q3_nation_revenue,
         "q1_pricing": _q1_pricing,
         "a10_value_quantiles": _a10_value_quantiles,
-        "bm25_topk": _bm25_topk,
-        "bm25_join": _bm25_join,
+        "t8_assembled_docs": _t8_assembled_docs,
+        "winnow_containment": _winnow_containment,
         "bpe_train_merges": _bpe_train_merges,
     }
 
@@ -3195,8 +3206,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "q3_nation_revenue": _Q3_SQL,
         "q1_pricing": _Q1_SQL,
         "a10_value_quantiles": _A10_SQL,
-        "bm25_topk": _bm25_topk_sql(),
-        "bm25_join": _bm25_join_sql(),
+        "t8_assembled_docs": _T8_ASSEMBLED_SQL,
+        "winnow_containment": _WINNOW_CONTAINMENT_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
     }

@@ -215,31 +215,39 @@ def main() -> int:
     spark.stop()
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "rep_spread": spread,
-                "reps": REPS,
-                "sf": _sf_from_dir(SF_DIR),
-                "cpus": CPUS,
-                "flagship_docs": n_docs,
-                "flagship_docs_per_sec": turns_per_sec,
-                "flagship_reps": [round(t, 3) for t in flag],
-                "flagship_spread_pct": flagship_spread,
-                "flagship_unstable": flagship_unstable,
-                "cap_counters": {
-                    "max_doc_freq": cap,
-                    "max_bucket_size": cap,
-                    "jaccard_dropped_shingles": dropped_shingles,
-                    "minhash_hot_buckets": hot_buckets,
-                },
-            }
-        )
-    )
+    record = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rep_spread": spread,
+        "reps": REPS,
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": CPUS,
+        "flagship_docs": n_docs,
+        "flagship_docs_per_sec": turns_per_sec,
+        "flagship_reps": [round(t, 3) for t in flag],
+        "flagship_spread_pct": flagship_spread,
+        "flagship_unstable": flagship_unstable,
+        "cap_counters": {
+            "max_doc_freq": cap,
+            "max_bucket_size": cap,
+            "jaccard_dropped_shingles": dropped_shingles,
+            "minhash_hot_buckets": hot_buckets,
+        },
+    }
+    # persist the round record ourselves: the driver captures stdout, and
+    # BENCH_r04.json shipped with "parsed": null + a truncated tail — the
+    # official record must never depend on a pipe surviving intact.
+    # Atomic (tmp+rename) so a killed bench never leaves a half-written
+    # artifact shadowing the previous good one.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    tmp = os.path.join(bench_dir, "bench_latest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(record, fh, indent=1)
+    os.replace(tmp, os.path.join(bench_dir, "bench_latest.json"))
+    print(json.dumps(record))
     return 0
 
 

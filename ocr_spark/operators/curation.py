@@ -446,13 +446,38 @@ def cap_per_source(
     )
 
 
+def _parse_byte_conf(v: str) -> int:
+    """Parse Spark's byte-valued confs ('10485760', '10MB', '1g', '-1')."""
+    s = v.strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+                   ("g", 1 << 30), ("t", 1 << 40), ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(s) * mult
+
+
+def _should_broadcast_boiler(n_bytes: int, spark) -> bool:
+    """line_strip's 'auto' strategy: broadcast the boilerplate set only
+    when its UTF-8 payload fits the session's broadcast threshold with
+    2x headroom (the UnsafeRow broadcast form roughly doubles string
+    payloads). A non-positive threshold (broadcast disabled) always
+    routes to the shuffle anti-join."""
+    thr = _parse_byte_conf(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    return thr > 0 and 2 * n_bytes <= thr
+
+
 def line_strip(
     docs: DataFrame,
     max_doc_freq: int = 2,
     delimiter: str = "\n",
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_boiler: bool = True,
+    broadcast_boiler: bool | str = "auto",
 ) -> DataFrame:
     """Corpus-level line-frequency boilerplate strip (the CCNet/C4 gate:
     a line appearing verbatim in many documents is navigation chrome /
@@ -477,9 +502,14 @@ def line_strip(
     occurring in billions of documents never concentrates in one task;
     the strip itself is a broadcast LEFT ANTI join against the df>cap
     set, which is small by construction (≤ total_lines / max_doc_freq
-    distinct values, and in practice the boilerplate tail — pass
-    ``broadcast_boiler=False`` to let AQE pick a shuffle anti-join when
-    the threshold is aggressive enough to make it big). Reassembly is
+    distinct values, and in practice the boilerplate tail). The default
+    ``broadcast_boiler='auto'`` measures the set's actual bytes (one
+    eager localCheckpoint the join then reuses — no extra corpus pass)
+    and falls back to an AQE shuffle anti-join when it exceeds the
+    session broadcast threshold, so an aggressive ``max_doc_freq`` can
+    never OOM the driver; ``True``/``False`` force either plan (note
+    'auto' makes the call eager: it runs the df-count jobs at
+    construction time to make the plan decision). Reassembly is
     ONE ``sort_array(collect_list(struct(pos, line)))`` per document —
     bounded by lines-per-document, the same per-group contract as the T8
     assembly (see extraction.assemble_docs' segmenting guard for the
@@ -508,6 +538,21 @@ def line_strip(
         .filter(F.col("_df") > max_doc_freq)
         .select("line")
     )
+    if broadcast_boiler == "auto":
+        # size-guarded default (round-4 advice): an aggressive
+        # max_doc_freq can make the df>cap set arbitrarily large, and
+        # force-broadcasting it would OOM the driver where a shuffle
+        # anti-join is the right plan. Materialize the set once
+        # (localCheckpoint — the anti-join reuses the same blocks, so
+        # the decision costs no extra corpus pass) and broadcast only
+        # when its measured bytes fit the session's broadcast threshold.
+        boiler = boiler.localCheckpoint(eager=True)
+        n_bytes = boiler.agg(
+            F.coalesce(F.sum(F.octet_length("line")), F.lit(0))
+        ).collect()[0][0]
+        broadcast_boiler = _should_broadcast_boiler(
+            int(n_bytes), docs.sparkSession
+        )
     if broadcast_boiler:
         boiler = F.broadcast(boiler)
     kept = lines.join(boiler, "line", "left_anti")
@@ -521,8 +566,14 @@ def line_strip(
         ).alias("_clean"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
+    # NULL text → 0 lines, stated explicitly: relying on size(NULL)
+    # returning NULL (Spark 4 / ANSI) + coalesce would silently become
+    # -1 under legacy sizeOfNull semantics (round-4 advice)
     totals = staged.select(
-        "id", F.coalesce(F.size("_ls"), F.lit(0)).alias("_n_lines")
+        "id",
+        F.when(F.col("_ls").isNull(), F.lit(0))
+        .otherwise(F.size("_ls"))
+        .alias("_n_lines"),
     )
     return (
         totals.join(reassembled, "id", "left")

@@ -256,7 +256,8 @@ def rrf_fuse(
 
     from pyspark.sql import Window
 
-    _validate(k, 1.0, 0.5)
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
     if k_rrf < 1:
         raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
     if len(ranked) < 2:

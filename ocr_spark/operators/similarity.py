@@ -429,11 +429,130 @@ def train_ivf_centroids(
     return [[float(v) for v in row] for row in c]
 
 
+#: score-matrix cells (rows × centroids) per numpy chunk inside the arrow
+#: assignment engine — bounds task memory at O(chunk) however large k is
+#: (the embedding_near_dup grouped-strategy precedent)
+_ARROW_ASSIGN_CELLS = 5_000_000
+
+
+def _arrow_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    cell_col: str,
+    cos_col: str | None = None,
+) -> DataFrame:
+    """engine='arrow' body shared by :func:`ivf_assign` /
+    :func:`assign_with_centroid_cos` / :func:`kmeans_fit_distributed`:
+    nearest-centroid argmax (and optionally raw cosine-to-assigned) as ONE
+    ``mapInPandas`` pass, appending ``cell_col`` (+ ``cos_col``) to the
+    input columns.
+
+    Why it exists (round-4 verdict, design-margin item): the literal
+    engine builds O(k·dim) plan literals per expression — at the
+    k ≈ √N sizes :func:`derive_ivf_params` prescribes for N ≥ ~10⁶ that
+    is a Catalyst plan-compile/codegen hazard (every analyzer/optimizer
+    pass walks millions of Literal nodes). The arrow engine carries the
+    centroid matrix as task data instead of plan structure: plan size is
+    O(1) in k, and the per-row cost is a numpy matmul-shaped fold.
+
+    Bit-equality contract with the literal engine (pytest-pinned): scores
+    fold sequentially over DIMENSIONS — ``S += V[:, j] · C[:, j]`` is the
+    same IEEE mul-then-add, in the same index order, as the JVM
+    ``zip_with``/``aggregate`` fold — argmax is numpy's first-max (the
+    ``array_position(array_max)`` rule), norms fold ``acc + x·x`` in index
+    order, and the cosine division is one IEEE op either engine. Rounding
+    (where a caller wants it) stays OUTSIDE, applied JVM-side on the raw
+    value, so HALF_UP semantics never depend on numpy. NULL vectors yield
+    NULL cell/cos; zero vectors yield cell 0 (argmax of all-zero scores)
+    and cosine 0.0, matching the literal path's ``when(_nv == 0, 0.0)``.
+
+    Memory: the k×dim float64 centroid matrix ships in the UDF closure
+    (~16 MB at k=31.6k, dim=64); the score block is evaluated in row
+    chunks of ≤ ``_ARROW_ASSIGN_CELLS`` cells so task memory is
+    O(chunk·k), never O(batch·k)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField
+
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2 or C.shape[0] == 0:
+        raise ValueError("centroids must be a non-empty k x dim matrix")
+    k, dim = C.shape
+    nc = np.zeros(k)
+    for j in range(dim):  # strict index-order fold, mirrors norm()
+        nc = nc + C[:, j] * C[:, j]
+    nc = np.sqrt(nc)
+    chunk = max(1, _ARROW_ASSIGN_CELLS // k)
+    want_cos = cos_col is not None
+
+    fields = list(df.schema.fields) + [StructField(cell_col, IntegerType())]
+    if want_cos:
+        fields.append(StructField(cos_col, DoubleType()))
+    out_schema = type(df.schema)(fields)
+    in_cols = [f.name for f in df.schema.fields]
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            cells = np.full(n, -1, dtype=np.int64)
+            raw = np.zeros(n) if want_cos else None
+            vals = pdf[vec_col].to_numpy()
+            ok = np.fromiter(
+                (v is not None for v in vals), dtype=bool, count=n
+            )
+            idx = np.flatnonzero(ok)
+            for s in range(0, len(idx), chunk):
+                sel = idx[s : s + chunk]
+                try:
+                    V = np.stack(
+                        [np.asarray(vals[i], dtype=np.float64) for i in sel]
+                    )
+                except ValueError as e:
+                    raise ValueError(
+                        f"ragged vectors in {vec_col!r}: all embeddings "
+                        f"must have dim {dim}"
+                    ) from e
+                if V.shape[1] != dim:
+                    raise ValueError(
+                        f"vector dim {V.shape[1]} != centroid dim {dim}"
+                    )
+                S = np.zeros((len(sel), k))
+                for j in range(dim):  # index-order IEEE fold == dot()
+                    S += V[:, j : j + 1] * C[None, :, j]
+                a = np.argmax(S, axis=1)  # first max wins, == array_position
+                cells[sel] = a
+                if want_cos:
+                    mx = S[np.arange(len(sel)), a]
+                    nv = np.zeros(len(sel))
+                    for j in range(dim):
+                        nv = nv + V[:, j] * V[:, j]
+                    nv = np.sqrt(nv)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        c_ = mx / (nv * nc[a])
+                    raw[sel] = np.where(nv == 0.0, 0.0, c_)
+            out = pdf[in_cols].copy()
+            out[cell_col] = pd.array(
+                [int(c) if c >= 0 else None for c in cells], dtype="Int32"
+            )
+            if want_cos:
+                out[cos_col] = pd.array(
+                    [float(raw[i]) if cells[i] >= 0 else None
+                     for i in range(n)],
+                    dtype="Float64",
+                )
+            yield out
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    engine: str = "literal",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max dot product — the
     centroids are unit-norm, so this is cosine assignment).
@@ -444,7 +563,24 @@ def ivf_assign(
     and the natural ``partitionBy(cell)`` key when the corpus is written
     to rest — after which :func:`ivf_topk`'s probe filter becomes partition
     pruning and each query touches nprobe/n_cells of the bytes.
-    NULL vectors get a NULL cell."""
+    NULL vectors get a NULL cell.
+
+    ``engine='literal'`` (default) is the pure-expression form above —
+    zero Python, whole-stage-codegen-able, the right shape while k·dim
+    stays in the thousands. ``engine='arrow'`` (:func:`_arrow_assign`)
+    carries the centroids as task data instead of O(k·dim) plan literals
+    — REQUIRED at the k ≈ √N sizes :func:`derive_ivf_params` prescribes
+    for N ≥ ~10⁶, where the literal plan hits Catalyst's compile cliff.
+    Bit-identical results (engine-equality pytest)."""
+    if engine not in ("literal", "arrow"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "arrow":
+        tmp = f"_vd_{vec_col}"
+        # the double cast happens JVM-side either engine, so int/float32
+        # inputs widen with identical semantics
+        staged = df.withColumn(tmp, _as_double(vec_col))
+        out = _arrow_assign(staged, centroids, tmp, cell_col)
+        return out.drop(tmp)
     v = _as_double(vec_col)
     scores = F.array(
         *[
@@ -865,6 +1001,7 @@ def assign_with_centroid_cos(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "literal",
 ) -> DataFrame:
     """Cell assignment plus cosine-to-assigned-centroid in one narrow pass:
     (id, vd, cell, centroid_cos). Assignment is :func:`ivf_assign`'s
@@ -878,8 +1015,22 @@ def assign_with_centroid_cos(
     Each derived column lives in its own projection — Spark has no
     cross-expression CSE for non-codegen HOF trees, so referencing ``_sc``
     from a fused projection would re-evaluate all n_cells dot products per
-    reference."""
+    reference.
+
+    ``engine='arrow'`` routes the assignment + raw cosine through
+    :func:`_arrow_assign` (O(1) plan size in k — the large-k path; see
+    :func:`ivf_assign`); the 6-dp HALF_UP round stays JVM-side on the raw
+    value so both engines share the exact rounding op. Bit-identical
+    results (engine-equality pytest)."""
+    if engine not in ("literal", "arrow"):
+        raise ValueError(f"unknown engine {engine!r}")
     v = _as_double(vec_col)
+    if engine == "arrow":
+        base = df.select(F.col(id_col).alias("id"), v.alias("vd"))
+        out = _arrow_assign(base, centroids, "vd", "cell", "_raw")
+        return out.select(
+            "id", "vd", "cell", F.round(F.col("_raw"), 6).alias("centroid_cos")
+        )
     scores = F.array(
         *[
             dot(
@@ -976,6 +1127,7 @@ def semantic_dedup(
     max_cell_size: int | None = None,
     strategy: str = "grouped",
     checkpoint_dir: str | None = None,
+    engine: str = "literal",
 ) -> DataFrame:
     """SemDeDup: embedding-space deduplication via k-means cells. Assign
     every vector to its nearest shipped-quantizer centroid, score only
@@ -986,7 +1138,8 @@ def semantic_dedup(
     D7-consistent canonical-minimum rule. Returns every input row as
     (id, cell, centroid_cos, cluster, keep).
 
-    Scale shape: assignment is narrow (literal centroids); pair generation
+    Scale shape: assignment is narrow (literal centroids by default;
+    ``engine='arrow'`` for large k — see :func:`ivf_assign`); pair generation
     shuffles once on cell; components iterate over PAIR VERTICES only
     (tiny vs corpus); the keep ranking windows only those vertices and
     broadcast-joins the flags back — the corpus itself is never windowed
@@ -996,7 +1149,9 @@ def semantic_dedup(
         raise ValueError(f"unknown keep rule {keep!r}")
     if centroids is None:
         centroids = load_ivf_centroids()
-    assigned = assign_with_centroid_cos(df, centroids, id_col, vec_col)
+    assigned = assign_with_centroid_cos(
+        df, centroids, id_col, vec_col, engine=engine
+    )
     pairs = semantic_dedup_pairs(assigned, threshold, max_cell_size, strategy)
     from ocr_spark.operators.dedup import connected_components
 
@@ -1044,6 +1199,7 @@ def kmeans_fit_distributed(
     iters: int = 8,
     scale_bits: int = 20,
     sample_n: int | None = None,
+    engine: str = "literal",
 ) -> list[list[float]]:
     """Train a spherical k-means quantizer over the FULL corpus as a Spark
     job — the scale path behind :func:`train_ivf_centroids` (which trains
@@ -1071,11 +1227,22 @@ def kmeans_fit_distributed(
     (TakeOrderedAndProject — per-partition top-n, no global sort). Empty
     cells keep their previous centroid. Normalization folds are strict
     index-order (:func:`norm`), identical in the reference.
+
+    ``engine='arrow'`` routes the per-iteration assignment through
+    :func:`_arrow_assign` (O(1) plan size in k) instead of rebuilding an
+    O(k·dim)-literal expression EVERY iteration — at the k ≈ √N sizes
+    :func:`derive_ivf_params` prescribes, the literal plan re-pays the
+    Catalyst compile cliff ``iters`` times. The fixed-point integer sum
+    makes the update engine-independent by construction; the assignment
+    argmax is the same index-order IEEE fold + first-max rule either way,
+    so trained centroids are bit-identical (engine-equality pytest).
     """
     import math
 
     from ocr_spark.operators.dedup import _free_checkpoint
 
+    if engine not in ("literal", "arrow"):
+        raise ValueError(f"unknown engine {engine!r}")
     if n_cells <= 0:
         raise ValueError(f"n_cells must be positive, got {n_cells}")
     if iters <= 0:
@@ -1126,30 +1293,36 @@ def kmeans_fit_distributed(
             )
 
         for _ in range(iters):
-            scores = F.array(
-                *[
-                    dot(
-                        F.col("u"),
-                        F.array(*[F.lit(float(x)) for x in cent]).cast(
-                            "array<double>"
-                        ),
-                    )
-                    for cent in c
-                ]
-            )
-            # each derived column in its own projection: no cross-expression
-            # CSE for HOF trees (the assign_with_centroid_cos staging rule)
-            assigned = (
-                base.withColumn("_sc", scores)
-                .withColumn("_mx", F.array_max("_sc"))
-                .withColumn(
-                    "cell",
-                    (F.array_position(F.col("_sc"), F.col("_mx")) - 1).cast(
-                        "int"
-                    ),
+            if engine == "arrow":
+                assigned = _arrow_assign(
+                    base.select("u", "q"), c, "u", "cell"
+                ).select("cell", "q")
+            else:
+                scores = F.array(
+                    *[
+                        dot(
+                            F.col("u"),
+                            F.array(*[F.lit(float(x)) for x in cent]).cast(
+                                "array<double>"
+                            ),
+                        )
+                        for cent in c
+                    ]
                 )
-                .select("cell", "q")
-            )
+                # each derived column in its own projection: no
+                # cross-expression CSE for HOF trees (the
+                # assign_with_centroid_cos staging rule)
+                assigned = (
+                    base.withColumn("_sc", scores)
+                    .withColumn("_mx", F.array_max("_sc"))
+                    .withColumn(
+                        "cell",
+                        (
+                            F.array_position(F.col("_sc"), F.col("_mx")) - 1
+                        ).cast("int"),
+                    )
+                    .select("cell", "q")
+                )
             agg = assigned.groupBy("cell").agg(
                 F.count(F.lit(1)).alias("cnt"),
                 *[

@@ -39,13 +39,20 @@ def main(argv=None) -> int:
         help="parquet learned_words table; approved words join the kamus "
         "for this epoch (SURVEY.md §7.4 epoch-snapshot semantics)",
     )
+    ap.add_argument(
+        "--conf", action="append", default=[], metavar="K=V",
+        help="extra SparkSession conf (repeatable), e.g. "
+        "--conf spark.sql.parquet.compression.codec=lz4",
+    )
     args = ap.parse_args(argv)
+    extra_conf = dict(kv.split("=", 1) for kv in args.conf)
 
     from ocr_spark.plans.job import ExtractionJob
     from ocr_spark.session import get_spark
 
     spark = get_spark(
-        "ocr-spark-extract", master=args.master, shuffle_partitions=args.shuffle_partitions
+        "ocr-spark-extract", master=args.master,
+        shuffle_partitions=args.shuffle_partitions, extra_conf=extra_conf
     )
     try:
         summaries = []

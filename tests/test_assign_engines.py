@@ -1,0 +1,145 @@
+"""Engine equality: literal-centroid vs arrow centroid assignment.
+
+The round-4 verdict flagged the O(k·dim) literal plans in ivf_assign /
+assign_with_centroid_cos / kmeans_fit_distributed as a Catalyst
+plan-compile hazard at the k ≈ √N sizes derive_ivf_params prescribes for
+N ≥ ~10⁶. engine='arrow' carries the centroid matrix as task data
+(O(1) plan size in k) — these tests pin the contract that makes the
+switch safe: BIT-IDENTICAL results, no tolerance, including the NULL /
+zero-vector / float32-widening edges.
+"""
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ocr_spark.operators.similarity import (
+    assign_with_centroid_cos,
+    ivf_assign,
+    kmeans_fit_distributed,
+    semantic_dedup,
+)
+
+DIM = 16
+K = 5
+
+
+def _unit(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pytest.fixture(scope="module")
+def cents():
+    rng = random.Random(7)
+    return [_unit([rng.gauss(0, 1) for _ in range(DIM)]) for _ in range(K)]
+
+
+@pytest.fixture(scope="module")
+def edge_vectors(spark):
+    """float32 corpus + the edges: NULL vector, zero vector, a vector
+    equal to a centroid-ish direction (near-tie stress)."""
+    rng = random.Random(23)
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(DIM)]) for i in range(60)
+    ]
+    rows.append((60, None))  # NULL -> NULL cell both engines
+    rows.append((61, [0.0] * DIM))  # zero -> cell 0, cos 0.0 both engines
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _by_id(rows, *cols):
+    return {r["vec_id"] if "vec_id" in r else r["id"]: tuple(r[c] for c in cols)
+            for r in rows}
+
+
+def test_ivf_assign_engines_bit_equal(edge_vectors, cents):
+    lit = ivf_assign(edge_vectors, cents).collect()
+    arw = ivf_assign(edge_vectors, cents, engine="arrow").collect()
+    assert _by_id(lit, "cell") == _by_id(arw, "cell")
+    cells = _by_id(arw, "cell")
+    assert cells[60] == (None,)  # NULL vector
+    assert cells[61] == (0,)  # zero vector: first-max of all-zero scores
+
+
+def test_assign_with_centroid_cos_engines_bit_equal(edge_vectors, cents):
+    lit = assign_with_centroid_cos(edge_vectors, cents).collect()
+    arw = assign_with_centroid_cos(
+        edge_vectors, cents, engine="arrow"
+    ).collect()
+    # bit-identical doubles (the 6-dp round happens JVM-side either way),
+    # identical cells, identical widened vd
+    def key(rows):
+        return {
+            r["id"]: (
+                r["cell"],
+                r["centroid_cos"],
+                tuple(r["vd"]) if r["vd"] is not None else None,
+            )
+            for r in rows
+        }
+
+    want, got = key(lit), key(arw)
+    assert got == want
+    assert got[60][0] is None and got[60][1] is None
+    assert got[61][0] == 0 and got[61][1] == 0.0
+
+
+def test_semantic_dedup_engine_passthrough(edge_vectors, cents):
+    lit = sorted(
+        map(tuple, semantic_dedup(edge_vectors, cents, threshold=0.5).collect())
+    )
+    arw = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                edge_vectors, cents, threshold=0.5, engine="arrow"
+            ).collect(),
+        )
+    )
+    assert lit == arw
+
+
+def test_kmeans_engines_bit_equal(spark):
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(DIM)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    lit = kmeans_fit_distributed(df, 4, iters=3, sample_n=16)
+    arw = kmeans_fit_distributed(df, 4, iters=3, sample_n=16, engine="arrow")
+    assert lit == arw  # bit-identical doubles, no tolerance
+
+
+def test_rejects_unknown_engine(edge_vectors, cents):
+    with pytest.raises(ValueError):
+        ivf_assign(edge_vectors, cents, engine="numpy")
+    with pytest.raises(ValueError):
+        assign_with_centroid_cos(edge_vectors, cents, engine="numpy")
+    with pytest.raises(ValueError):
+        kmeans_fit_distributed(edge_vectors, 2, engine="numpy")
+
+
+def test_arrow_rejects_ragged_and_wrong_dim(spark, cents):
+    schema = "vec_id: long, embedding: array<double>"
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    bad_dim = spark.createDataFrame([(1, [1.0, 2.0])], schema)
+    with pytest.raises((PythonException, Py4JJavaError)):
+        ivf_assign(bad_dim, cents, engine="arrow").collect()
+    with pytest.raises(ValueError):
+        ivf_assign(bad_dim, [], engine="arrow")

@@ -119,6 +119,47 @@ def test_validations(spark):
         line_strip(sdf, delimiter="")
 
 
+def test_auto_strategy_size_guard(spark):
+    """'auto' (the default) must produce identical rows to both forced
+    plans at an aggressive threshold, and must NOT broadcast when the
+    session's broadcast threshold disables it."""
+    from ocr_spark.operators.curation import (
+        _parse_byte_conf,
+        _should_broadcast_boiler,
+    )
+
+    # aggressive cap: every shared line is boilerplate
+    want = _run(spark, DOCS, max_doc_freq=1, broadcast_boiler=True)
+    assert _run(spark, DOCS, max_doc_freq=1, broadcast_boiler="auto") == want
+    assert _run(spark, DOCS, max_doc_freq=1, broadcast_boiler=False) == want
+
+    assert _parse_byte_conf("10485760") == 10 << 20
+    assert _parse_byte_conf("10MB") == 10 << 20
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("512b") == 512
+    assert _parse_byte_conf("-1") == -1
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert not _should_broadcast_boiler(0, spark)
+        sdf = spark.createDataFrame(DOCS, "doc_id long, text string")
+        plan = (
+            line_strip(sdf, max_doc_freq=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # threshold disabled -> auto must route to the shuffle anti-join
+        assert "LeftAnti" in plan
+        assert "BroadcastHashJoin" not in plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64b")
+        assert not _should_broadcast_boiler(64, spark)  # 2x headroom
+        assert _should_broadcast_boiler(32, spark)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_plan_shape(spark):
     """The strip join must be a broadcast anti-join (no shuffle on the
     corpus side of the strip) and the df count a two-stage aggregate."""
