@@ -44,7 +44,7 @@ SIM_QUERIES = [
     "ann_cosine_topk", "ann_lsh_topk", "ivf_topk", "knn_join",
     "semantic_dedup",
     # extras
-    "ann_cosine_topk_np", "ann_lsh_topk_mp",
+    "ann_cosine_topk_np", "ann_lsh_topk_mp", "kmeans_cells",
 ]
 HEAVY = ["embedding_near_dup"]  # ~3 min at sf1; --skip-heavy drops it
 
