@@ -435,6 +435,30 @@ def train_ivf_centroids(
 _ARROW_ASSIGN_CELLS = 5_000_000
 
 
+#: k·dim above which ``engine='auto'`` stops building literal-centroid
+#: expressions: past ~16k Literal nodes per expression the Catalyst
+#: analyze/optimize/codegen passes dominate wall (BENCH/assign_engines.json:
+#: the k=256·dim=64 point is 28× slower literal-vs-arrow, k=1024 is 46×),
+#: while below it whole-stage codegen with zero Python workers wins.
+#: Every shipped-quantizer call site (n_cells ≤ 256 at dim 64) resolves
+#: to 'literal' — 'auto' only changes behavior at the k ≈ √N sizes
+#: :func:`derive_ivf_params` prescribes for N ≥ ~10⁶.
+_AUTO_ARROW_LITERALS = 16_384
+
+
+def _resolve_engine(engine: str, centroids: list[list[float]]) -> str:
+    """Resolve ``engine='auto'`` by plan-literal count (k·dim); pass
+    'literal'/'arrow' through unchanged. Both engines are bit-identical
+    (pytest-pinned), so resolution is a pure cost decision."""
+    if engine not in ("auto", "literal", "arrow"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine != "auto":
+        return engine
+    k = len(centroids)
+    dim = len(centroids[0]) if k else 0
+    return "arrow" if k * dim > _AUTO_ARROW_LITERALS else "literal"
+
+
 def _arrow_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -552,7 +576,7 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     cell_col: str = "cell",
-    engine: str = "literal",
+    engine: str = "auto",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max dot product — the
     centroids are unit-norm, so this is cosine assignment).
@@ -571,9 +595,11 @@ def ivf_assign(
     carries the centroids as task data instead of O(k·dim) plan literals
     — REQUIRED at the k ≈ √N sizes :func:`derive_ivf_params` prescribes
     for N ≥ ~10⁶, where the literal plan hits Catalyst's compile cliff.
-    Bit-identical results (engine-equality pytest)."""
-    if engine not in ("literal", "arrow"):
-        raise ValueError(f"unknown engine {engine!r}")
+    Bit-identical results (engine-equality pytest). The default
+    ``engine='auto'`` resolves by that same boundary — literal while
+    k·dim ≤ ``_AUTO_ARROW_LITERALS``, arrow past it — so
+    :func:`derive_ivf_params`-sized quantizers are safe by default."""
+    engine = _resolve_engine(engine, centroids)
     if engine == "arrow":
         tmp = f"_vd_{vec_col}"
         # the double cast happens JVM-side either engine, so int/float32
@@ -1001,7 +1027,7 @@ def assign_with_centroid_cos(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    engine: str = "literal",
+    engine: str = "auto",
 ) -> DataFrame:
     """Cell assignment plus cosine-to-assigned-centroid in one narrow pass:
     (id, vd, cell, centroid_cos). Assignment is :func:`ivf_assign`'s
@@ -1021,9 +1047,9 @@ def assign_with_centroid_cos(
     :func:`_arrow_assign` (O(1) plan size in k — the large-k path; see
     :func:`ivf_assign`); the 6-dp HALF_UP round stays JVM-side on the raw
     value so both engines share the exact rounding op. Bit-identical
-    results (engine-equality pytest)."""
-    if engine not in ("literal", "arrow"):
-        raise ValueError(f"unknown engine {engine!r}")
+    results (engine-equality pytest); ``engine='auto'`` (default) picks
+    by the :data:`_AUTO_ARROW_LITERALS` k·dim boundary."""
+    engine = _resolve_engine(engine, centroids)
     v = _as_double(vec_col)
     if engine == "arrow":
         base = df.select(F.col(id_col).alias("id"), v.alias("vd"))
@@ -1127,7 +1153,7 @@ def semantic_dedup(
     max_cell_size: int | None = None,
     strategy: str = "grouped",
     checkpoint_dir: str | None = None,
-    engine: str = "literal",
+    engine: str = "auto",
 ) -> DataFrame:
     """SemDeDup: embedding-space deduplication via k-means cells. Assign
     every vector to its nearest shipped-quantizer centroid, score only
@@ -1199,7 +1225,7 @@ def kmeans_fit_distributed(
     iters: int = 8,
     scale_bits: int = 20,
     sample_n: int | None = None,
-    engine: str = "literal",
+    engine: str = "auto",
 ) -> list[list[float]]:
     """Train a spherical k-means quantizer over the FULL corpus as a Spark
     job — the scale path behind :func:`train_ivf_centroids` (which trains
@@ -1241,7 +1267,7 @@ def kmeans_fit_distributed(
 
     from ocr_spark.operators.dedup import _free_checkpoint
 
-    if engine not in ("literal", "arrow"):
+    if engine not in ("auto", "literal", "arrow"):
         raise ValueError(f"unknown engine {engine!r}")
     if n_cells <= 0:
         raise ValueError(f"n_cells must be positive, got {n_cells}")
@@ -1292,6 +1318,8 @@ def kmeans_fit_distributed(
                 f"{sample_n} ids for {n_cells} cells"
             )
 
+        # 'auto' resolves once — k·dim is constant across iterations
+        engine = _resolve_engine(engine, c)
         for _ in range(iters):
             if engine == "arrow":
                 assigned = _arrow_assign(

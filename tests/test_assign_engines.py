@@ -143,3 +143,33 @@ def test_arrow_rejects_ragged_and_wrong_dim(spark, cents):
         ivf_assign(bad_dim, cents, engine="arrow").collect()
     with pytest.raises(ValueError):
         ivf_assign(bad_dim, [], engine="arrow")
+
+
+def test_auto_engine_resolves_by_literal_count():
+    """'auto' (the default) picks literal below the k·dim compile-cliff
+    boundary and arrow above it — so derive_ivf_params-sized quantizers
+    (k ≈ √N) are safe by default while every shipped small-k call keeps
+    its codegen-able literal plan."""
+    from ocr_spark.operators.similarity import (
+        _AUTO_ARROW_LITERALS,
+        _resolve_engine,
+    )
+
+    dim = 64
+    small = [[0.0] * dim for _ in range(_AUTO_ARROW_LITERALS // dim)]
+    large = small + [[0.0] * dim]
+    assert _resolve_engine("auto", small) == "literal"
+    assert _resolve_engine("auto", large) == "arrow"
+    # explicit choices pass through regardless of size
+    assert _resolve_engine("literal", large) == "literal"
+    assert _resolve_engine("arrow", small) == "arrow"
+    with pytest.raises(ValueError):
+        _resolve_engine("numpy", small)
+
+
+def test_auto_engine_default_plan_shape(edge_vectors, cents):
+    """With the shipped small quantizer the default engine stays literal:
+    no ArrowEvalPython node appears in the assignment plan (the zero-
+    Python codegen path the plan dumps pin)."""
+    plan = ivf_assign(edge_vectors, cents)._jdf.queryExecution().toString()
+    assert "ArrowEvalPython" not in plan
