@@ -49,6 +49,16 @@ def get_spark(
         # from the first stage (128 MB coalesced a 300 MB input to 3 tasks,
         # serializing the scan+shuffle stage; measured 2026-08-17)
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # lz4 parquet sink: encode CPU is the asymmetric cost when cores
+        # are scarce — at 12 Python-UDF slots on the 32-core box the sink
+        # eats ~14% of full-job throughput (vs ~5% at 3 slots), and
+        # lz4-vs-snappy buys +3.5% full-job at local[12] (8,608 vs 8,320
+        # turns/s median, same input/day) while local[3] is unchanged
+        # within noise. At 100 TB the same arithmetic holds wherever
+        # executor cores are the binding resource; text compresses
+        # comparably under either codec.
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_PARQUET_CODEC", "lz4"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # pre-commit and pre-touch the heap: the first big-shuffle stage
         # otherwise pays the heap-growth tax — threads stall off-CPU in
