@@ -522,6 +522,14 @@ def line_strip(
         raise ValueError(f"max_doc_freq must be >= 1, got {max_doc_freq}")
     if delimiter == "":
         raise ValueError("delimiter must be non-empty")
+    if broadcast_boiler not in (True, False, "auto"):
+        # any other string is truthy — a typo like 'AUTO' or 'shuffle'
+        # would silently force-broadcast, the exact plan the size guard
+        # exists to prevent
+        raise ValueError(
+            f"broadcast_boiler must be True, False or 'auto', "
+            f"got {broadcast_boiler!r}"
+        )
     staged = docs.select(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), _re.escape(delimiter), -1).alias("_ls"),
@@ -546,6 +554,11 @@ def line_strip(
         # (localCheckpoint — the anti-join reuses the same blocks, so
         # the decision costs no extra corpus pass) and broadcast only
         # when its measured bytes fit the session's broadcast threshold.
+        # The checkpoint blocks must outlive this function (the returned
+        # plan reads them), so there is no unpersist here; Spark's
+        # ContextCleaner reclaims them once the caller drops the frame.
+        # Note 'auto' makes plan CONSTRUCTION eager (it runs the df-count
+        # job to measure); pass True/False to stay fully lazy.
         boiler = boiler.localCheckpoint(eager=True)
         n_bytes = boiler.agg(
             F.coalesce(F.sum(F.octet_length("line")), F.lit(0))

@@ -435,14 +435,20 @@ def train_ivf_centroids(
 _ARROW_ASSIGN_CELLS = 5_000_000
 
 
-#: k·dim above which ``engine='auto'`` stops building literal-centroid
-#: expressions: past ~16k Literal nodes per expression the Catalyst
-#: analyze/optimize/codegen passes dominate wall (BENCH/assign_engines.json:
-#: the k=256·dim=64 point is 28× slower literal-vs-arrow, k=1024 is 46×),
-#: while below it whole-stage codegen with zero Python workers wins.
-#: Every shipped-quantizer call site (n_cells ≤ 256 at dim 64) resolves
-#: to 'literal' — 'auto' only changes behavior at the k ≈ √N sizes
-#: :func:`derive_ivf_params` prescribes for N ≥ ~10⁶.
+#: k·dim at and above which ``engine='auto'`` stops building
+#: literal-centroid expressions. BENCH/assign_engines.json (20k rows,
+#: dim 64) measures the literal path's Catalyst analyze/optimize/codegen
+#: cost growing superlinearly in plan-literal count — 12.8× slower than
+#: arrow at k·dim=4,096, 28× at 16,384, 46× at 65,536 — so from the
+#: k=256·dim=64 point (inclusive) 'auto' picks arrow. Below the
+#: boundary 'auto' keeps the literal plan even though arrow's measured
+#: wall is lower at bench scale there too (1.8× at k·dim=1,024): the
+#: sub-boundary deltas are sub-second one-time compile costs, while the
+#: literal plan stays whole-stage-codegen-fusable with surrounding JVM
+#: ops and needs no Python workers — the plan shape the repo's gate
+#: pins prefer. Every shipped-quantizer call site (k=22, dim=64 →
+#: k·dim=1,408) resolves to 'literal'; 'auto' changes behavior at the
+#: k ≈ √N sizes :func:`derive_ivf_params` prescribes for N ≥ ~10⁶.
 _AUTO_ARROW_LITERALS = 16_384
 
 
@@ -456,7 +462,7 @@ def _resolve_engine(engine: str, centroids: list[list[float]]) -> str:
         return engine
     k = len(centroids)
     dim = len(centroids[0]) if k else 0
-    return "arrow" if k * dim > _AUTO_ARROW_LITERALS else "literal"
+    return "arrow" if k * dim >= _AUTO_ARROW_LITERALS else "literal"
 
 
 def _arrow_assign(
@@ -491,6 +497,16 @@ def _arrow_assign(
     NULL cell/cos; zero vectors yield cell 0 (argmax of all-zero scores)
     and cosine 0.0, matching the literal path's ``when(_nv == 0, 0.0)``.
 
+    NULL-ELEMENT parity: a NULL *element* inside an otherwise non-NULL
+    vector null-propagates through the literal engine's ``zip_with``/
+    ``aggregate`` fold (every score NULL → NULL cell/cos), but the
+    Arrow→pandas transfer erases the null-vs-NaN distinction (both
+    arrive as ``nan`` in a float64 block), so the flag is computed
+    JVM-side (``exists(vec, isnull)``) BEFORE the exchange and flagged
+    rows get NULL cell/cos. Genuine NaN *values* (never produced by the
+    repo's embedding paths) behave identically either engine: all-NaN
+    scores → first-index argmax → cell 0, NaN cosine.
+
     Memory: the k×dim float64 centroid matrix ships in the UDF closure
     (~16 MB at k=31.6k, dim=64); the score block is evaluated in row
     chunks of ≤ ``_ARROW_ASSIGN_CELLS`` cells so task memory is
@@ -512,10 +528,23 @@ def _arrow_assign(
     want_cos = cos_col is not None
 
     fields = list(df.schema.fields) + [StructField(cell_col, IntegerType())]
+    nan_flag = f"_nan_{cos_col}" if want_cos else None
     if want_cos:
         fields.append(StructField(cos_col, DoubleType()))
+        # pyarrow's from_pandas maps every NaN to null on the way back to
+        # the JVM, so a genuine NaN cosine (NaN-valued input vector, which
+        # the literal engine keeps distinct from NULL) cannot cross the
+        # exchange as a value — it crosses as this flag and is restored
+        # JVM-side below
+        from pyspark.sql.types import BooleanType
+
+        fields.append(StructField(nan_flag, BooleanType()))
     out_schema = type(df.schema)(fields)
     in_cols = [f.name for f in df.schema.fields]
+    null_flag = f"_ne_{vec_col}"
+    staged = df.withColumn(
+        null_flag, F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
 
     def assign(batches):
         for pdf in batches:
@@ -523,8 +552,11 @@ def _arrow_assign(
             cells = np.full(n, -1, dtype=np.int64)
             raw = np.zeros(n) if want_cos else None
             vals = pdf[vec_col].to_numpy()
+            flagged = pdf[null_flag].to_numpy()
             ok = np.fromiter(
-                (v is not None for v in vals), dtype=bool, count=n
+                (v is not None and not f for v, f in zip(vals, flagged)),
+                dtype=bool,
+                count=n,
             )
             idx = np.flatnonzero(ok)
             for s in range(0, len(idx), chunk):
@@ -566,9 +598,24 @@ def _arrow_assign(
                      for i in range(n)],
                     dtype="Float64",
                 )
+                out[nan_flag] = pd.array(
+                    [bool(cells[i] >= 0 and np.isnan(raw[i]))
+                     for i in range(n)],
+                    dtype="boolean",
+                )
             yield out
 
-    return df.mapInPandas(assign, out_schema)
+    # out_schema (and assign's output frame) already exclude the JVM-side
+    # null-element staging column; restore NaN cosines from their flag
+    out = staged.mapInPandas(assign, out_schema)
+    if want_cos:
+        out = out.withColumn(
+            cos_col,
+            F.when(F.col(nan_flag), F.lit(float("nan"))).otherwise(
+                F.col(cos_col)
+            ),
+        ).drop(nan_flag)
+    return out
 
 
 def ivf_assign(

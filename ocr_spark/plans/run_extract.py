@@ -45,6 +45,9 @@ def main(argv=None) -> int:
         "--conf spark.sql.parquet.compression.codec=lz4",
     )
     args = ap.parse_args(argv)
+    for kv in args.conf:
+        if "=" not in kv:
+            ap.error(f"--conf {kv!r}: expected K=V")
     extra_conf = dict(kv.split("=", 1) for kv in args.conf)
 
     from ocr_spark.plans.job import ExtractionJob

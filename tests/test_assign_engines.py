@@ -156,12 +156,14 @@ def test_auto_engine_resolves_by_literal_count():
     )
 
     dim = 64
-    small = [[0.0] * dim for _ in range(_AUTO_ARROW_LITERALS // dim)]
-    large = small + [[0.0] * dim]
+    small = [[0.0] * dim for _ in range(_AUTO_ARROW_LITERALS // dim - 1)]
+    # the boundary itself is the measured 28x point (k=256, dim=64 in
+    # BENCH/assign_engines.json) — inclusive, it resolves to arrow
+    at_boundary = small + [[0.0] * dim]
     assert _resolve_engine("auto", small) == "literal"
-    assert _resolve_engine("auto", large) == "arrow"
+    assert _resolve_engine("auto", at_boundary) == "arrow"
     # explicit choices pass through regardless of size
-    assert _resolve_engine("literal", large) == "literal"
+    assert _resolve_engine("literal", at_boundary) == "literal"
     assert _resolve_engine("arrow", small) == "arrow"
     with pytest.raises(ValueError):
         _resolve_engine("numpy", small)
@@ -173,3 +175,41 @@ def test_auto_engine_default_plan_shape(edge_vectors, cents):
     Python codegen path the plan dumps pin)."""
     plan = ivf_assign(edge_vectors, cents)._jdf.queryExecution().toString()
     assert "ArrowEvalPython" not in plan
+
+
+def test_null_element_and_nan_parity(spark, cents):
+    """A NULL *element* inside a vector null-propagates to NULL cell/cos
+    in the literal engine; the arrow engine must match even though the
+    Arrow->pandas transfer erases the null-vs-NaN distinction (flag
+    computed JVM-side). A genuine NaN value yields cell 0 with a NaN
+    (not NULL) cosine in BOTH engines."""
+    from pyspark.sql.types import DoubleType
+
+    rows = [
+        (0, [0.1 if j != 3 else None for j in range(DIM)]),  # null element
+        (1, [float("nan") if j == 0 else 0.1 for j in range(DIM)]),  # NaN
+        (2, [0.1] * DIM),  # control
+    ]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {}
+    for eng in ("literal", "arrow"):
+        out[eng] = {
+            r["id"]: (r["cell"], r["centroid_cos"])
+            for r in assign_with_centroid_cos(df, cents, engine=eng).collect()
+        }
+    for eng in ("literal", "arrow"):
+        assert out[eng][0] == (None, None), eng  # null element -> NULL row
+        cell, cos = out[eng][1]
+        assert cell == 0 and math.isnan(cos), eng  # NaN stays NaN, not NULL
+    assert out["literal"][2] == out["arrow"][2]
+    cells_lit = {r["vec_id"]: r["cell"]
+                 for r in ivf_assign(df, cents, engine="literal").collect()}
+    cells_arw = {r["vec_id"]: r["cell"]
+                 for r in ivf_assign(df, cents, engine="arrow").collect()}
+    assert cells_lit == cells_arw == {0: None, 1: 0, 2: cells_lit[2]}

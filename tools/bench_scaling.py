@@ -160,7 +160,10 @@ def measure(cores: int, inp: str, sink: str, runs: int, conf: list[str],
         print(f"local[{cores}] {sink}: spread {spread(thrs):.3f} > "
               f"{max_spread} — re-measuring with 2 extra reps", flush=True)
         retried = True
-        thrs += one_pass(2)
+        # reach the 5-sample floor the IQR verdict needs (stage blocks
+        # start from --stage-runs 2 steady reps, so +2 alone leaves 4
+        # and restat would fall back to the range statistic forever)
+        thrs += one_pass(max(2, 5 - len(thrs)))
     block = {
         "cores": cores,
         "turns": turns,
@@ -199,7 +202,20 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.recompute:
-        report = json.loads(pathlib.Path(args.recompute).read_text())
+        src = pathlib.Path(args.recompute)
+        report = json.loads(src.read_text())
+        if not args.json_out:
+            # re-derive IN PLACE: recomputing a secondary artifact (e.g.
+            # scaling_r5_prelz4.json) must never clobber the headline
+            # BENCH/scaling.json default
+            args.json_out = str(src)
+        if pathlib.Path(args.json_out).resolve() != (
+            REPO / "BENCH" / "scaling.json"
+        ):
+            # SCALING.md mirrors the headline artifact only — and its
+            # self-defense text quotes THIS invocation's gate values,
+            # which need not match the gates the original run used
+            args.no_md = True
         for blocks in (report["full_job"], report["extraction_stage"]):
             for b in blocks.values():
                 restat(b, args.max_spread)
@@ -309,6 +325,11 @@ def write_report(report: dict, args) -> int:
     print(json.dumps({k: report[k] for k in
                       ("primary_pair", "pairs", "pass", "started_under_load",
                        "noop_tainted")}))
+    if report["pass"] is None:
+        # refused (contended/unstable primary blocks): distinct from a
+        # genuine below-target FAIL so automation never records a fake
+        # verdict — rc 3 is the pre-run load refusal, rc 2 this one
+        return 2
     return 0 if report["pass"] else 1
 
 
