@@ -1896,6 +1896,106 @@ GROUP BY t.doc_id
 """
 
 
+def _bigram_nll(spark, sf_dir):
+    """Interpolated bigram-LM perplexity filter (the CCNet/KenLM filter
+    one order above unigram_nll): p(cur|prev) = 0.75·p_bigram +
+    0.25·p_unigram, add-1 smoothed, self-scored. The interpolation is a
+    fixed-order IEEE expression written identically in the oracle; the
+    4-dp round absorbs only the shuffle-order avg around the one ln."""
+    from ocr_spark.operators.textstats import with_bigram_nll
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_bigram_nll(docs).select(
+        F.col("id").alias("doc_id"), "n_scored_bigrams", "avg_nll"
+    )
+
+
+_BIGRAM_NLL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS ts
+  FROM documents
+),
+uni AS (SELECT unnest(ts) AS token FROM toks),
+ucnt AS (SELECT token, count(*) AS c FROM uni GROUP BY token),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM ucnt),
+bg AS (
+  SELECT doc_id, unnest(ts[1:len(ts)-1]) AS prev, unnest(ts[2:len(ts)]) AS cur
+  FROM toks WHERE len(ts) >= 2
+),
+bcnt AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),
+ccnt AS (SELECT prev, sum(cb) AS cc FROM bcnt GROUP BY prev)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_scored_bigrams,
+       ROUND(-avg(ln(
+         0.75 * ((bcnt.cb + 1.0) / (ccnt.cc + 1.0 * tot.v))
+         + 0.25 * ((ucnt.c + 1.0) / (tot.n + 1.0 * tot.v))
+       )), 4) AS avg_nll
+FROM bg
+JOIN bcnt USING (prev, cur)
+JOIN ccnt USING (prev)
+JOIN ucnt ON ucnt.token = bg.cur
+CROSS JOIN tot
+GROUP BY bg.doc_id
+"""
+
+
+def _tfidf_topk_terms(spark, sf_dir):
+    """Per-document top-5 characteristic terms by tf·idf (smooth idf,
+    the scikit-learn formula), ranked on the 4-dp-rounded score with
+    (score desc, term asc) ties — deterministic on both engines."""
+    from ocr_spark.operators.retrieval import tfidf_topk_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk_terms(docs, k=5).select(
+        F.col("id").alias("doc_id"), "term", "tf", "score", "rank"
+    )
+
+
+_TFIDF_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS term
+  FROM documents
+),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, score, rank FROM (
+  SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+         ROUND(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 4) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY ROUND(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 4)
+                    DESC, t.term
+         ) AS INTEGER) AS rank
+  FROM tfc t JOIN dfreq d USING (term) CROSS JOIN n
+) WHERE rank <= 5
+"""
+
+
+def _edit_near_dup(spark, sf_dir):
+    """Character edit-distance near-dup pairs (Levenshtein <= 5) via
+    PassJoin pigeonhole segment candidates + exact banded-DP verify —
+    candidates are provably complete, so the brute-force DuckDB oracle
+    (|Δlen| <= 5 necessary-condition prefilter) matches exactly; dist is
+    an exact integer, no floats anywhere."""
+    from ocr_spark.operators.editdist import edit_distance_near_dup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return edit_distance_near_dup(docs, max_dist=5)
+
+
+_EDIT_NEAR_DUP_SQL = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS l FROM documents WHERE text IS NOT NULL
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+FROM d a JOIN d b
+  ON b.l BETWEEN a.l - 5 AND a.l + 5 AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 5
+"""
+
+
 def _winnow_fingerprints(spark, sf_dir):
     from ocr_spark.operators.textstats import with_winnow_fingerprints
 
@@ -2997,8 +3097,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "simhash_near_dup": _simhash_near_dup,
         "decontaminate": _decontaminate,
-        "stratified_sample": _stratified_sample,
         "curate_corpus": _curate_corpus,
+        # character edit-distance near-dup (round-5 rotation: newest
+        # family gets a gate row; stratified_sample — composed inside the
+        # gated curate_corpus, the fingerprints⊂source_stats rule —
+        # displaced to extras)
+        "edit_near_dup": _edit_near_dup,
         "winnow_near_dup": _winnow_near_dup,
         # span-level exact-substring dedup (round-4 session-5 rotation:
         # newest family gets a gate row; ann_lsh_topk — whose multi-probe
@@ -3020,20 +3124,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a TPC-H bonus shape whose join-agg siblings q3/q5/q18 live in
         # extras — displaced there)
         "rrf_fusion": _rrf_fusion,
-        # BM25 lexical retrieval, both physical shapes (round-5 rotation:
-        # the only round-4 family with no gate row of its own gets two —
-        # t8_assembled_docs and winnow_containment, each the second shape
-        # of a family whose sibling stays gated, displaced to extras)
+        # BM25 lexical retrieval (round-5 rotation gave the family gate
+        # rows; late round 5 keeps the topk shape gated and displaces
+        # bm25_join — the second physical shape, cross-shape equality
+        # pytest-pinned — back to extras, the same second-shape rule that
+        # displaced t8_assembled_docs and winnow_containment)
         "bm25_topk": _bm25_topk,
-        "bm25_join": _bm25_join,
-        # multimodal (real stdlib codecs + numpy pixel ops)
+        # per-document tf·idf keyword extraction (round-5 rotation:
+        # newest family gets a gate row; bm25_join displaced per above)
+        "tfidf_topk_terms": _tfidf_topk_terms,
+        # multimodal (real stdlib codecs + numpy pixel ops;
+        # media_audio_features — the second M1 codec shape, WAV beside
+        # the gated PNG/BMP/PPM image shape — displaced to extras for the
+        # round-5 bigram_nll rotation)
         "media_image_features": _media_image_features,
-        "media_audio_features": _media_audio_features,
         "t9_preprocess": _t9_preprocess,
         # text analysis
         "lang_id_counts": _lang_id_counts,
         "gopher_repetition": _gopher_repetition,
         "unigram_nll": _unigram_nll,
+        # interpolated bigram-LM perplexity filter (round-5 rotation:
+        # newest family gets a gate row; media_audio_features displaced
+        # per above)
+        "bigram_nll": _bigram_nll,
         "bpe_token_counts": _bpe_token_counts,
         "pii_redaction": _pii_redaction,
         "source_stats": _source_stats,
@@ -3080,8 +3193,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "simhash_near_dup": _SIMHASH_NEAR_DUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
-        "stratified_sample": _STRATIFIED_SQL,
         "curate_corpus": _curate_sql(),
+        "edit_near_dup": _EDIT_NEAR_DUP_SQL,
         "winnow_near_dup": _WINNOW_NEAR_DUP_SQL,
         "substr_dup_stats": _SUBSTR_DUP_SQL,
         "line_strip": _line_strip_sql(),
@@ -3092,10 +3205,11 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(),
         "rrf_fusion": _rrf_fusion_sql(),
         "bm25_topk": _bm25_topk_sql(),
-        "bm25_join": _bm25_join_sql(),
+        "tfidf_topk_terms": _TFIDF_SQL,
         "lang_id_counts": _langid_sql(),
         "gopher_repetition": _GOPHER_REPETITION_SQL,
         "unigram_nll": _UNIGRAM_NLL_SQL,
+        "bigram_nll": _BIGRAM_NLL_SQL,
         "pii_redaction": _pii_sql(),
         "source_stats": _source_stats_sql(),
         "training_shards": _SHARDS_SQL,
@@ -3175,6 +3289,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_assembled_docs": _t8_assembled_docs,
         "winnow_containment": _winnow_containment,
         "bpe_train_merges": _bpe_train_merges,
+        # displaced by the round-5 bigram_nll / tfidf_topk_terms /
+        # edit_near_dup rotation (see queries() comments): the second
+        # M1 codec shape, the second BM25 physical shape, and the
+        # sampler curate_corpus composes — all still oracle- or
+        # pytest-verified here via --extended
+        "media_audio_features": _media_audio_features,
+        "bm25_join": _bm25_join,
+        "stratified_sample": _stratified_sample,
     }
 
 
@@ -3208,6 +3330,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "a10_value_quantiles": _A10_SQL,
         "t8_assembled_docs": _T8_ASSEMBLED_SQL,
         "winnow_containment": _WINNOW_CONTAINMENT_SQL,
+        "bm25_join": _bm25_join_sql(),
+        "stratified_sample": _STRATIFIED_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
+        # media_audio_features: no oracle (rows-only; codec pytest vs a
+        # local WAV reference instead)
     }

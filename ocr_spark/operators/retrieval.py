@@ -292,3 +292,54 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), "id", "score", "rank")
     )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_df: bool = True,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by tf·idf (Sparck Jones
+    1972; the smooth-idf variant standardized by scikit-learn:
+    idf(t) = ln((N+1)/(df(t)+1)) + 1, strictly positive, never divides
+    by zero) — the classic keyword/topic-slice extractor a curation
+    pipeline uses to label and stratify corpus segments. Returns
+    ``(id, term, tf, score, rank)`` with rank 1..k per document, ranked
+    on the ROUNDED score (4 dp — the repo's cross-engine ln contract)
+    with ties broken (score desc, term asc) so the selection is
+    deterministic on every engine.
+
+    N counts ALL input rows (the scikit-learn convention), carried as a
+    broadcast one-row frame so the plan stays lazy.
+
+    Scale shape: one hash aggregate on (id, term) builds the tf table
+    (map-side combine absorbs within-doc repeats), one vocabulary-sized
+    aggregate derives df, the tf stream joins the df table (broadcast by
+    default — Zipf bounds real vocabularies ~10⁷ rows; set
+    ``broadcast_df=False`` to shuffle-join on the fixed-width term key),
+    then ONE per-document window over each doc's distinct terms. No UDF,
+    no driver state."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_ts"))
+    tf = (
+        explode_nonnull(toked, "_ts", "term", "id")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    maybe_b = F.broadcast if broadcast_df else (lambda d: d)
+    idf = F.log((F.col("_n_docs") + 1.0) / (F.col("_df") + 1.0)) + 1.0
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(maybe_b(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("id", "term", "tf", F.round(F.col("tf") * idf, 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -449,6 +449,109 @@ def with_unigram_nll(
     )
 
 
+def _bigram_stream(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
+    """Adjacent-token (prev, cur) pairs per row as a NARROW projection:
+    the token array is staged once, then one ``transform`` over positions
+    1..n-1 builds the pair structs — no join, no self-zip shuffle. Rows
+    with < 2 tokens contribute nothing (both engines agree)."""
+    from ocr_spark.functions.explode import explode_nonnull
+
+    toked = df.select(*keep, tokens(text_col).alias("_lm_toks"))
+    pairs = F.expr(
+        "CASE WHEN size(_lm_toks) >= 2 THEN "
+        "transform(slice(_lm_toks, 1, size(_lm_toks) - 1), "
+        "(t, i) -> struct(t AS prev, _lm_toks[i + 1] AS cur)) "
+        "ELSE array() END"
+    )
+    staged = toked.select(*keep, pairs.alias("_lm_bgs"))
+    return explode_nonnull(staged, "_lm_bgs", "_bg", *keep).select(
+        *keep, F.col("_bg.prev").alias("prev"), F.col("_bg.cur").alias("cur")
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram table (prev, cur, cnt) — ONE hash aggregate over the
+    adjacent-pair stream (map-side partial combine). The training half of
+    :func:`with_bigram_nll`; Zipf keeps the distinct-bigram table far
+    smaller than the corpus (it grows with vocabulary, not tokens)."""
+    return (
+        _bigram_stream(df, text_col)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def with_bigram_nll(
+    df: DataFrame,
+    counts: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    lam: float = 0.75,
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under an INTERPOLATED
+    bigram LM — the CCNet/KenLM perplexity filter (Wenzek et al. 2020)
+    one order up from :func:`with_unigram_nll`, which is the unigram
+    backstop this model interpolates against:
+
+        p(cur | prev) = λ·(c(prev,cur)+α)/(c_ctx(prev)+αV)
+                      + (1−λ)·(c(cur)+α)/(N+αV)
+
+    with c_ctx(prev) = Σ_cur c(prev,cur) (the count of ``prev`` as a
+    context, so the conditional sums to ≤1 over the smoothed vocabulary),
+    V = unigram vocabulary size, N = total tokens. Returns
+    (id, n_scored_bigrams, avg_nll); positions 2..n are scored, so
+    documents with < 2 tokens drop out of the output on BOTH engines.
+    avg_nll rounds to 4 dp — the repo's cross-engine ln contract (the
+    interpolation itself is a fixed-order IEEE expression written
+    identically in the DuckDB oracle; only the shuffle-order avg needs
+    the rounding).
+
+    ``counts`` defaults to :func:`bigram_counts` over ``df`` itself
+    (self-scoring); pass a held-out table for the train/score split.
+
+    Shape at 100 TB: bigram + unigram counts are each ONE map-combined
+    aggregate; scoring is the exploded pair stream joined against three
+    vocabulary-bounded tables (broadcast by default — real bigram tables
+    are ~10⁸ rows; set ``broadcast_counts=False`` to shuffle-join on the
+    fixed-width token keys instead) + one per-doc aggregate. No UDF, no
+    driver state."""
+    if counts is None:
+        counts = bigram_counts(df, text_col)
+    uni = (
+        unigram_counts(df, text_col)
+        .withColumnRenamed("token", "cur")
+        .withColumnRenamed("cnt", "_u_cnt")
+    )
+    ctx = counts.groupBy("prev").agg(F.sum("cnt").alias("_ctx_cnt"))
+    totals = uni.agg(
+        F.sum("_u_cnt").alias("_lm_n"), F.count(F.lit(1)).alias("_lm_v")
+    )
+    maybe_b = F.broadcast if broadcast_counts else (lambda d: d)
+    scored = _bigram_stream(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, "id"
+    )
+    p_bi = (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce(F.col("_ctx_cnt"), F.lit(0)) + F.lit(alpha) * F.col("_lm_v")
+    )
+    p_uni = (F.coalesce(F.col("_u_cnt"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("_lm_n") + F.lit(alpha) * F.col("_lm_v")
+    )
+    lp = F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+    return (
+        scored.join(maybe_b(counts), ["prev", "cur"], "left")
+        .join(maybe_b(ctx), "prev", "left")
+        .join(maybe_b(uni), "cur", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored_bigrams"),
+            F.round(-F.avg(lp), 4).alias("avg_nll"),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of the casefolded, whitespace-collapsed,
     punctuation-stripped text — the standard "normalized-content hash" used

@@ -285,3 +285,77 @@ def test_rrf_plan_has_no_corpus_shuffle(spark):
     )
     assert "Join" not in plan
     assert "Union" in plan and "Window" in plan
+
+
+def test_tfidf_topk_matches_python_reference(spark):
+    """tf·idf with smooth idf vs a driver-side reference; ranked on the
+    ROUNDED score, ties (score desc, term asc)."""
+    import math
+    import re
+    from collections import Counter
+
+    from ocr_spark.operators.retrieval import tfidf_topk_terms
+
+    texts = {
+        0: "spark spark spark query engine",
+        1: "query engine for the lake",
+        2: "the the the lake lake spark",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {}
+    for r in tfidf_topk_terms(df, k=2).collect():
+        got.setdefault(r["id"], []).append((r["rank"], r["term"], r["tf"], r["score"]))
+
+    def toks(s):
+        return re.findall(r"[a-z]{3,}", s.lower())
+
+    n_docs = len(texts)
+    dfreq = Counter()
+    tfs = {}
+    for did, s in texts.items():
+        tfs[did] = Counter(toks(s))
+        for t in tfs[did]:
+            dfreq[t] += 1
+    for did in texts:
+        scored = sorted(
+            (
+                (-round(tf * (math.log((n_docs + 1.0) / (dfreq[t] + 1.0)) + 1.0), 4), t, tf)
+                for t, tf in tfs[did].items()
+            )
+        )[:2]
+        want = [
+            (rank + 1, t, tf, -s) for rank, (s, t, tf) in enumerate(scored)
+        ]
+        assert sorted(got[did]) == [
+            (rk, t, tf, pytest.approx(sc)) for rk, t, tf, sc in want
+        ], did
+
+
+def test_tfidf_rank_cut_and_tie_break(spark):
+    """All terms tie on tf and df -> alphabetical rank, k cuts."""
+    from ocr_spark.operators.retrieval import tfidf_topk_terms
+
+    df = spark.createDataFrame(
+        [(0, "zebra apple mango")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["rank"], r["term"]) for r in tfidf_topk_terms(df, k=2).collect()
+    )
+    assert rows == [(1, "apple"), (2, "mango")]
+
+
+def test_tfidf_validation_and_plan(spark):
+    import pytest as _pytest
+
+    from ocr_spark.operators.retrieval import tfidf_topk_terms
+
+    with _pytest.raises(ValueError):
+        tfidf_topk_terms(None, k=0)
+    df = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    plan = (
+        tfidf_topk_terms(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan  # df table broadcasts by default

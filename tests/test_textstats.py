@@ -335,3 +335,90 @@ def test_winnow_is_narrow_and_validates(spark):
     assert "Exchange" not in plan and "EvalPython" not in plan
     with pytest.raises(ValueError):
         with_winnow_fingerprints(df, w=0)
+
+
+def test_bigram_nll_matches_python_reference(spark):
+    """Interpolated add-1 bigram NLL vs a driver-side reference on a tiny
+    corpus (self-scored): p = 0.75·p_bi + 0.25·p_uni with the context
+    count c_ctx(prev) = Σ_cur c(prev, cur)."""
+    import math
+    import re
+    from collections import Counter
+
+    from ocr_spark.operators.textstats import with_bigram_nll
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the dog ate the cat",
+        2: "rare words appear here",
+        3: "one",          # < 2 tokens -> drops out of the output
+        4: "tiny doc",     # 'doc' < 3 letters -> 1 token -> drops out
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r["id"]: r for r in with_bigram_nll(df).collect()}
+
+    def toks(s):
+        return re.findall(r"[a-z]{3,}", s.lower())
+
+    uni = Counter(t for s in texts.values() for t in toks(s))
+    n, v = sum(uni.values()), len(uni)
+    bi = Counter(
+        bg
+        for s in texts.values()
+        for bg in zip(toks(s)[:-1], toks(s)[1:])
+    )
+    ctx = Counter()
+    for (p, _c), cnt in bi.items():
+        ctx[p] += cnt
+    expect_ids = {did for did, s in texts.items() if len(toks(s)) >= 2}
+    assert set(got) == expect_ids
+    for did in expect_ids:
+        ts = toks(texts[did])
+        bgs = list(zip(ts[:-1], ts[1:]))
+        want = -sum(
+            math.log(
+                0.75 * ((bi[bg] + 1.0) / (ctx[bg[0]] + 1.0 * v))
+                + 0.25 * ((uni[bg[1]] + 1.0) / (n + 1.0 * v))
+            )
+            for bg in bgs
+        ) / len(bgs)
+        assert got[did]["n_scored_bigrams"] == len(bgs)
+        assert got[did]["avg_nll"] == pytest.approx(round(want, 4))
+    # repeated-bigram docs score LOWER nll than all-rare-bigram docs
+    assert got[0]["avg_nll"] < got[2]["avg_nll"]
+
+
+def test_bigram_nll_plan_broadcasts_counts(spark):
+    from ocr_spark.operators.textstats import with_bigram_nll
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "doc_id long, text string"
+    )
+    plan = (
+        with_bigram_nll(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "Python" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_nll_held_out_counts_coalesce_to_smoothing(spark):
+    """Unseen bigrams under a held-out counts table fall back to pure
+    smoothing mass — no NULL poisoning, every position still scored."""
+    import math
+
+    from ocr_spark.operators.textstats import bigram_counts, with_bigram_nll
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "dog ate homework")], "doc_id long, text string"
+    )
+    counts = bigram_counts(train)
+    rows = with_bigram_nll(score, counts=counts).collect()
+    # V and N come from the SCORED corpus's unigram table (self uni model)
+    assert len(rows) == 1 and rows[0]["n_scored_bigrams"] == 2
+    # every smoothed probability is finite and positive
+    assert rows[0]["avg_nll"] > 0 and math.isfinite(rows[0]["avg_nll"])

@@ -32,7 +32,8 @@ DOC_QUERIES = [
     "winnow_near_dup", "winnow_containment", "substr_dup_stats",
     "lang_id_counts",
     "bpe_token_counts", "pii_redaction", "source_stats", "training_shards",
-    "gopher_repetition", "unigram_nll", "line_strip", "rrf_fusion",
+    "gopher_repetition", "unigram_nll", "bigram_nll", "line_strip",
+    "rrf_fusion", "tfidf_topk_terms", "edit_near_dup",
     # extras (need --extended)
     "minhash_signatures", "simhash", "dedup_corpus", "fingerprints",
     "token_counts", "winnow_fingerprints", "doc_tf_embeddings", "doc_quality",
