@@ -66,6 +66,9 @@ HEADLINE = [
     "doc_quality",
     "gopher_repetition",
     "unigram_nll",
+    "bigram_nll",
+    "tfidf_topk_terms",
+    "edit_near_dup",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",
