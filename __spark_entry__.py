@@ -2647,6 +2647,93 @@ FROM n LEFT JOIN r USING (doc_id)
 """
 
 
+_PARA_DEDUP_DELIM = " the "
+
+
+def _paragraph_dedup(spark, sf_dir):
+    """RefinedWeb/Dolma-style corpus-GLOBAL keep-first-occurrence
+    paragraph dedup: every distinct non-empty segment survives exactly
+    once, at its smallest (doc_id, pos); later occurrences are removed
+    and survivors reassembled in order. Complements the gated line_strip
+    (corpus-frequency STRIP) with the first-winner rule."""
+    from ocr_spark.operators.curation import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_dedup(docs, delimiter=_PARA_DEDUP_DELIM)
+
+
+def _paragraph_dedup_sql() -> str:
+    # same quote-escape contract as _line_strip_sql (the Spark side
+    # re.escape's the literal; this is the SQL analogue)
+    d = _PARA_DEDUP_DELIM.replace("'", "''")
+    return f"""
+WITH s AS (SELECT doc_id, string_split(text, '{d}') AS ps FROM documents),
+p AS (SELECT doc_id, unnest(ps) AS para, unnest(range(len(ps))) AS pos
+      FROM s),
+w AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (
+           PARTITION BY ('0x' || substr(md5(para), 1, 15))::BIGINT
+           ORDER BY doc_id, pos
+         ) AS rn
+  FROM p WHERE para <> ''
+),
+k AS (SELECT doc_id, pos, para FROM w WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, pos, para FROM p WHERE para = ''),
+r AS (SELECT doc_id, string_agg(para, '{d}' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM k GROUP BY doc_id),
+n AS (SELECT doc_id, coalesce(len(ps), 0) AS n_paras FROM s)
+SELECT n.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(n.n_paras AS INT) AS n_paras,
+       CAST(n.n_paras - coalesce(r.n_kept, 0) AS INT) AS n_removed
+FROM n LEFT JOIN r USING (doc_id)
+"""
+
+
+_PMI_MIN_COUNT = 5
+_PMI_K = 20
+
+
+def _pmi_collocations(spark, sf_dir):
+    """Top-k bigram collocations by 4-dp-rounded PMI (Church & Hanks
+    1990) with a min_count floor — corpus phrase mining over the same
+    adjacent-pair stream as the gated bigram_nll. The score expression is
+    a fixed-order IEEE formula written identically in the oracle; rank
+    ties break (pmi desc, prev asc, cur asc), a total order."""
+    from ocr_spark.operators.textstats import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pmi_collocations(docs, min_count=_PMI_MIN_COUNT, k=_PMI_K)
+
+
+_PMI_SQL = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{WORD_RE}') AS ts FROM documents
+),
+uni AS (SELECT unnest(ts) AS token FROM toks),
+ucnt AS (SELECT token, count(*) AS c FROM uni GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM ucnt),
+bg AS (
+  SELECT unnest(ts[1:len(ts)-1]) AS prev, unnest(ts[2:len(ts)]) AS cur
+  FROM toks WHERE len(ts) >= 2
+),
+bcnt AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur
+         HAVING count(*) >= {_PMI_MIN_COUNT})
+SELECT b.prev, b.cur, CAST(b.cb AS BIGINT) AS cnt,
+       ROUND(ln((CAST(b.cb AS DOUBLE) * tot.n)
+                / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 4) AS pmi
+FROM bcnt b
+JOIN ucnt ua ON ua.token = b.prev
+JOIN ucnt ub ON ub.token = b.cur
+CROSS JOIN tot
+ORDER BY pmi DESC, b.prev ASC, b.cur ASC
+LIMIT {_PMI_K}
+"""
+
+
 def _rrf_fusion(spark, sf_dir):
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     ranking (per-query) with a query-independent document-quality prior
@@ -3113,6 +3200,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a10_value_quantiles — a bonus aggregate whose pivot/approx
         # siblings already live in extras — displaced there)
         "line_strip": _line_strip,
+        # corpus-global keep-first paragraph dedup (round-5 session-2
+        # rotation: newest family gets a gate row; media_image_features
+        # — an M1 rows-only shape whose codec family is also carried by
+        # pytest goldens and the audio extra — displaced, which makes the
+        # gate row it frees oracle-backed)
+        "paragraph_dedup": _paragraph_dedup,
         # similarity search
         "ann_cosine_topk": _ann_cosine_topk,
         "ivf_topk": _ivf_topk,
@@ -3133,20 +3226,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-document tf·idf keyword extraction (round-5 rotation:
         # newest family gets a gate row; bm25_join displaced per above)
         "tfidf_topk_terms": _tfidf_topk_terms,
-        # multimodal (real stdlib codecs + numpy pixel ops;
-        # media_audio_features — the second M1 codec shape, WAV beside
-        # the gated PNG/BMP/PPM image shape — displaced to extras for the
-        # round-5 bigram_nll rotation)
-        "media_image_features": _media_image_features,
+        # multimodal (real stdlib codecs + numpy pixel ops; the image
+        # and audio codec shapes both live in extras since the round-5
+        # session-2 rotation — the family stays --extended-verified and
+        # pytest-golden-gated; t9 keeps the gate row)
         "t9_preprocess": _t9_preprocess,
         # text analysis
         "lang_id_counts": _lang_id_counts,
         "gopher_repetition": _gopher_repetition,
-        "unigram_nll": _unigram_nll,
         # interpolated bigram-LM perplexity filter (round-5 rotation:
-        # newest family gets a gate row; media_audio_features displaced
-        # per above)
+        # newest family gets a gate row; media_audio_features displaced)
         "bigram_nll": _bigram_nll,
+        # PMI collocation mining (round-5 session-2 rotation: newest
+        # family gets a gate row; unigram_nll — the same CCNet LM-filter
+        # family one order DOWN from the gated bigram_nll, which
+        # interpolates against the identical unigram core — displaced to
+        # extras, still --extended-verified)
+        "pmi_collocations": _pmi_collocations,
         "bpe_token_counts": _bpe_token_counts,
         "pii_redaction": _pii_redaction,
         "source_stats": _source_stats,
@@ -3198,6 +3294,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dup": _WINNOW_NEAR_DUP_SQL,
         "substr_dup_stats": _SUBSTR_DUP_SQL,
         "line_strip": _line_strip_sql(),
+        "paragraph_dedup": _paragraph_dedup_sql(),
         "ann_cosine_topk": _ANN_SQL,
         "ivf_topk": _ivf_sql(),
         "knn_join": _KNN_SQL,
@@ -3208,8 +3305,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk_terms": _TFIDF_SQL,
         "lang_id_counts": _langid_sql(),
         "gopher_repetition": _GOPHER_REPETITION_SQL,
-        "unigram_nll": _UNIGRAM_NLL_SQL,
         "bigram_nll": _BIGRAM_NLL_SQL,
+        "pmi_collocations": _PMI_SQL,
         "pii_redaction": _pii_sql(),
         "source_stats": _source_stats_sql(),
         "training_shards": _SHARDS_SQL,
@@ -3297,6 +3394,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_features": _media_audio_features,
         "bm25_join": _bm25_join,
         "stratified_sample": _stratified_sample,
+        # displaced by the round-5 session-2 paragraph_dedup /
+        # pmi_collocations rotation (see queries() comments): the M1
+        # image codec shape (rows-only, pytest-golden-gated beside the
+        # audio shape above) and the unigram LM filter (the core the
+        # gated bigram_nll interpolates against — still exact-oracle
+        # verified here)
+        "media_image_features": _media_image_features,
+        "unigram_nll": _unigram_nll,
     }
 
 
@@ -3332,8 +3437,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "winnow_containment": _WINNOW_CONTAINMENT_SQL,
         "bm25_join": _bm25_join_sql(),
         "stratified_sample": _STRATIFIED_SQL,
+        "unigram_nll": _UNIGRAM_NLL_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
-        # media_audio_features: no oracle (rows-only; codec pytest vs a
-        # local WAV reference instead)
+        # media_audio_features / media_image_features: no oracle
+        # (rows-only; codec pytest vs local WAV/PNG references instead)
     }

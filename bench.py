@@ -69,6 +69,8 @@ HEADLINE = [
     "bigram_nll",
     "tfidf_topk_terms",
     "edit_near_dup",
+    "pmi_collocations",
+    "paragraph_dedup",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

@@ -599,3 +599,101 @@ def line_strip(
             .alias("n_removed"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    delimiter: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-GLOBAL keep-first-occurrence paragraph dedup (the
+    RefinedWeb / Dolma exact-paragraph rule: Penedo et al. 2023 §3.3,
+    Soldaini et al. 2024 — and the paragraph-granularity half of C4's
+    three-sentence-span rule, Raffel et al. 2020). The corpus-frequency
+    STRIP gate is :func:`line_strip`; this is the complementary
+    first-winner rule: every distinct non-empty segment survives exactly
+    once — at its first occurrence, first = smallest (doc id, position)
+    — and every later occurrence is removed. Splits each document on the
+    literal ``delimiter``, reassembles survivors in original order, and
+    returns ``(id_col, clean_text, n_paras, n_removed)`` — one row per
+    input document (a document whose every segment occurred earlier
+    survives with ``clean_text = ''``; NULL text yields ``('', 0, 0)``).
+
+    Exactness contract (shared with line_strip): split keeps trailing
+    empty segments (limit −1, mirroring DuckDB ``string_split``); empty
+    segments are always kept and never counted; reassembly joins with
+    the same delimiter. Segments are keyed by their 60-bit md5 prefix —
+    the shingle family's fixed-width join-key contract (dedup.py), at a
+    collision rate the SQL oracle reproduces bit-for-bit.
+
+    Scale shape (100 TB): the first-occurrence winner per segment is ONE
+    ``min(struct(id, pos))`` hash aggregate — map-side partial combine
+    absorbs a boilerplate paragraph occurring in billions of documents
+    (the one-task hot-key collapse a ``row_number`` window over the
+    segment key would suffer — that window is exactly what the oracle
+    uses, because the oracle only needs the semantics); the keep test is
+    one shuffle join of the segment stream against the winner table on
+    the fixed-width hash key. Reassembly is the line_strip contract: one
+    ``sort_array(collect_list(struct(pos, text)))`` per document,
+    bounded by segments-per-document.
+    """
+    import re as _re
+
+    if delimiter == "":
+        raise ValueError("delimiter must be non-empty")
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), _re.escape(delimiter), -1).alias("_pd"),
+    )
+    paras = staged.select("id", F.posexplode("_pd").alias("pos", "para"))
+    nonempty = paras.filter(F.col("para") != "").select(
+        "id",
+        "pos",
+        "para",
+        F.conv(F.substring(F.md5("para"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    winners = nonempty.groupBy("_h").agg(
+        F.min(
+            F.struct(F.col("id").alias("i"), F.col("pos").alias("p"))
+        ).alias("_w")
+    )
+    kept_nonempty = (
+        nonempty.join(winners, "_h")
+        .filter(
+            (F.col("_w.i") == F.col("id")) & (F.col("_w.p") == F.col("pos"))
+        )
+        .select("id", "pos", "para")
+    )
+    kept = kept_nonempty.unionByName(
+        paras.filter(F.col("para") == "").select("id", "pos", "para")
+    )
+    packed = F.struct(F.col("pos").alias("p"), F.col("para").alias("t"))
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(packed)), lambda s: s["t"]
+            ),
+            delimiter,
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = staged.select(
+        "id",
+        F.when(F.col("_pd").isNull(), F.lit(0))
+        .otherwise(F.size("_pd"))
+        .alias("_n_paras"),
+    )
+    return (
+        totals.join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+            F.col("_n_paras").cast("int").alias("n_paras"),
+            (F.col("_n_paras") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

@@ -552,6 +552,68 @@ def with_bigram_nll(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks, Computational Linguistics 1990) — the classic
+    phrase-mining signal for tokenizer vocabulary curation and
+    stop-phrase discovery over a training corpus:
+
+        pmi(a, b) = ln( N·c(a,b) / (c(a)·c(b)) )
+
+    computed over the same adjacent-pair stream as the bigram LM
+    (:func:`with_bigram_nll`). ``min_count`` floors c(a,b) BEFORE
+    scoring — PMI famously explodes on hapax pairs (Manning & Schütze
+    §5.4), and the floor is also what keeps the scored set small at
+    scale. Rank is on the 4-dp-ROUNDED pmi (the repo's cross-engine ln
+    contract) with (pmi desc, prev asc, cur asc) ties — (prev, cur) is
+    the aggregate key, so the order is total and engine-deterministic.
+    Returns (prev, cur, cnt, pmi), ≤ k rows. Every operand is cast to
+    double in a FIXED order (c(a,b)·N / (c(a)·c(b))) written identically
+    in the SQL oracle, so only the ln needs the rounding contract.
+
+    Shape at 100 TB: bigram and unigram counts are each ONE map-combined
+    aggregate (outputs grow with vocabulary, not tokens — Zipf-bounded);
+    the min_count filter drops the hapax tail before the scoring joins
+    (broadcast by default; ``broadcast_counts=False`` shuffle-joins on
+    the fixed-width token keys for 10⁸⁺-row vocabularies); the global
+    top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+    partial top-k), never a full sort. No UDF, no driver state.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    bc = bigram_counts(df, text_col).filter(F.col("cnt") >= min_count)
+    uni = unigram_counts(df, text_col)
+    totals = uni.agg(F.sum("cnt").alias("_n"))
+    maybe_b = F.broadcast if broadcast_counts else (lambda d: d)
+    prev_u = uni.select(
+        F.col("token").alias("prev"), F.col("cnt").alias("_ca")
+    )
+    cur_u = uni.select(F.col("token").alias("cur"), F.col("cnt").alias("_cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("cnt").cast("double") * F.col("_n").cast("double"))
+            / (F.col("_ca").cast("double") * F.col("_cb").cast("double"))
+        ),
+        4,
+    )
+    return (
+        bc.join(maybe_b(prev_u), "prev")
+        .join(maybe_b(cur_u), "cur")
+        .crossJoin(F.broadcast(totals))
+        .select("prev", "cur", "cnt", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("prev"), F.asc("cur"))
+        .limit(k)
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of the casefolded, whitespace-collapsed,
     punctuation-stripped text — the standard "normalized-content hash" used

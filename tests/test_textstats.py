@@ -422,3 +422,86 @@ def test_bigram_nll_held_out_counts_coalesce_to_smoothing(spark):
     assert len(rows) == 1 and rows[0]["n_scored_bigrams"] == 2
     # every smoothed probability is finite and positive
     assert rows[0]["avg_nll"] > 0 and math.isfinite(rows[0]["avg_nll"])
+
+
+def test_pmi_collocations_match_python_reference(spark):
+    """Top-k PMI collocations vs a driver-side reference: same rounded
+    score, same min_count floor, same (pmi desc, prev, cur) order."""
+    import math
+    import re
+    from collections import Counter
+
+    from ocr_spark.operators.textstats import pmi_collocations
+
+    texts = [
+        "hong kong hong kong hong kong hong kong",
+        "new york and new york and new york",
+        "the cat sat near the dog and the cat ran",
+        "kong new york hong dog cat near ran and the",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def toks(s):
+        return re.findall(r"[a-z]{3,}", s.lower())
+
+    uni = Counter(t for s in texts for t in toks(s))
+    n = sum(uni.values())
+    bi = Counter(
+        bg for s in texts for bg in zip(toks(s)[:-1], toks(s)[1:])
+    )
+    want = sorted(
+        (
+            (
+                round(math.log((c * float(n)) / (uni[a] * float(uni[b]))), 4),
+                a,
+                b,
+                c,
+            )
+            for (a, b), c in bi.items()
+            if c >= 2
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:5]
+    got = [
+        (r["pmi"], r["prev"], r["cur"], r["cnt"])
+        for r in pmi_collocations(df, min_count=2, k=5).collect()
+    ]
+    assert got == want
+    # the repeated collocation outscores the generic pair
+    assert got[0][1:3] in {("hong", "kong"), ("kong", "hong"),
+                           ("new", "york"), ("york", "and")}
+
+
+def test_pmi_min_count_floor_and_validation(spark):
+    from ocr_spark.operators.textstats import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(df, min_count=2, k=10).collect()
+    assert [(r["prev"], r["cur"]) for r in rows] == [("alpha", "beta")]
+    assert rows[0]["cnt"] == 2
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(df, min_count=0)
+    with pytest.raises(ValueError, match="k"):
+        pmi_collocations(df, k=0)
+
+
+def test_pmi_topk_is_partial_topk_not_full_sort(spark):
+    """The global top-k must plan as TakeOrderedAndProject (per-partition
+    partial top-k), never a full Sort+Exchange over the scored set."""
+    from ocr_spark.operators.textstats import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta alpha beta")], "doc_id long, text string"
+    )
+    plan = (
+        pmi_collocations(df, min_count=1, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
