@@ -2693,6 +2693,39 @@ FROM n LEFT JOIN r USING (doc_id)
 """
 
 
+_CHUNK_SIZE = 16
+_CHUNK_STRIDE = 12
+
+
+def _chunk_documents(spark, sf_dir):
+    """Sliding-window token chunking (RAG/pretraining example prep):
+    chunk k = tokens[k·stride, k·stride + chunk_size), emitted while
+    k·stride < n_tokens — one narrow projection, zero shuffles."""
+    from ocr_spark.operators.sharding import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(
+        docs, chunk_size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS ts
+  FROM documents
+),
+st AS (
+  SELECT doc_id, ts, unnest(range(0, len(ts), {_CHUNK_STRIDE})) AS s
+  FROM toks WHERE len(ts) > 0
+)
+SELECT doc_id,
+       CAST(s // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+       array_to_string(ts[s + 1 : s + {_CHUNK_SIZE}], ' ') AS chunk_text,
+       CAST(len(ts[s + 1 : s + {_CHUNK_SIZE}]) AS INT) AS n_chunk_tokens
+FROM st
+"""
+
+
 _PMI_MIN_COUNT = 5
 _PMI_K = 20
 
@@ -3402,6 +3435,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified here)
         "media_image_features": _media_image_features,
         "unigram_nll": _unigram_nll,
+        # round-5 session-2 family added after the gate reached 50
+        # distinct families — fully oracle-backed here via --extended
+        "chunk_documents": _chunk_documents,
     }
 
 
@@ -3438,6 +3474,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "bm25_join": _bm25_join_sql(),
         "stratified_sample": _STRATIFIED_SQL,
         "unigram_nll": _UNIGRAM_NLL_SQL,
+        "chunk_documents": _CHUNK_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

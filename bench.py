@@ -71,6 +71,7 @@ HEADLINE = [
     "edit_near_dup",
     "pmi_collocations",
     "paragraph_dedup",
+    "chunk_documents",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

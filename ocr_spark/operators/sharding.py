@@ -160,3 +160,64 @@ def write_training_shards(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy("shard").parquet(path)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the example-prep
+    primitive upstream of :func:`pack_sequences`: long documents become
+    overlapping ``chunk_size``-token windows starting every ``stride``
+    tokens (RAG index chunking; the sliding-window long-document split
+    of BERT/HF ``return_overflowing_tokens``). Chunk k covers tokens
+    [k·stride, k·stride + chunk_size) and is emitted while k·stride <
+    n_tokens, so the final window may be short and a document shorter
+    than ``chunk_size`` yields exactly one chunk; zero-token documents
+    yield no rows (both engines agree). Requires 0 < stride ≤
+    chunk_size (stride > chunk_size would silently DROP tokens between
+    windows). Returns (id_col, chunk_idx, chunk_text, n_chunk_tokens) —
+    chunk_text rejoins the window with single spaces, the tokenizer's
+    inverse up to whitespace, so the output is loader-ready text.
+
+    Scale shape (100 TB): ONE narrow projection — tokens are staged
+    once, window starts come from ``sequence(0, n-1, stride)``, each
+    window is a ``slice`` of the staged array, and the only plan nodes
+    are Project + posexplode Generate (zero shuffles, zero UDFs; row
+    fan-out is bounded by ceil(n/stride) per document). Compose with
+    assign_shards/write_training_shards for the sharded sink.
+    """
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    if stride < 1 or stride > chunk_size:
+        raise ValueError(
+            f"stride must be in [1, chunk_size={chunk_size}], got {stride}"
+        )
+    from ocr_spark.operators.textstats import tokens
+
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_ck_toks")
+    )
+    n = F.size("_ck_toks")
+    windows = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1, F.lit(stride)),
+            lambda s: F.slice(F.col("_ck_toks"), s + 1, chunk_size),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    chunked = staged.select("id", windows.alias("_ck_wins"))
+    return (
+        chunked.select(
+            "id", F.posexplode("_ck_wins").alias("chunk_idx", "_ck_win")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join("_ck_win", " ").alias("chunk_text"),
+            F.size("_ck_win").cast("int").alias("n_chunk_tokens"),
+        )
+    )

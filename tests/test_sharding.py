@@ -177,3 +177,82 @@ def test_pack_sequences_validates_budget(spark):
     df = spark.createDataFrame([(0, "alpha")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         pack_sequences(df, max_tokens=0)
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    """Sliding-window chunking vs a driver-side reference: window k
+    covers tokens [k*stride, k*stride+size), emitted while k*stride < n;
+    short docs yield one chunk; empty/NULL docs yield none."""
+    import re
+
+    from ocr_spark.operators.sharding import chunk_documents
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        1: "one two three",     # shorter than chunk_size -> one chunk
+        2: "",                  # zero tokens -> no rows
+        3: None,                # NULL -> no rows
+        4: "solo",
+    }
+    size, stride = 4, 3
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_size=size, stride=stride).collect()
+    )
+    want = []
+    for did, t in texts.items():
+        ts = re.findall(r"[a-z]{3,}", (t or "").lower())
+        k = 0
+        while k * stride < len(ts):
+            win = ts[k * stride : k * stride + size]
+            want.append((did, k, " ".join(win), len(win)))
+            k += 1
+    assert got == sorted(want)
+
+
+def test_chunk_documents_full_coverage_no_drops(spark):
+    """Every token position is covered by at least one window whenever
+    stride <= chunk_size (the validation boundary)."""
+    from ocr_spark.operators.sharding import chunk_documents
+
+    # tokens must survive the [a-z]{3,} tokenizer: letters only
+    text = " ".join(
+        f"tok{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(50)
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_size=8, stride=8).collect()
+    covered = [t for r in sorted(rows, key=lambda r: r["chunk_idx"])
+               for t in r["chunk_text"].split(" ")]
+    assert covered == text.split(" ")  # stride == size -> exact partition
+
+
+def test_chunk_documents_validation(spark):
+    import pytest as _pytest
+
+    from ocr_spark.operators.sharding import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="chunk_size"):
+        chunk_documents(df, chunk_size=0)
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_size=4, stride=5)
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_size=4, stride=0)
+
+
+def test_chunk_documents_plan_is_narrow(spark):
+    """One Project + Generate chain — zero Exchange, zero Python."""
+    from ocr_spark.operators.sharding import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, chunk_size=4, stride=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan

@@ -34,7 +34,7 @@ DOC_QUERIES = [
     "bpe_token_counts", "pii_redaction", "source_stats", "training_shards",
     "gopher_repetition", "unigram_nll", "bigram_nll", "line_strip",
     "rrf_fusion", "tfidf_topk_terms", "edit_near_dup",
-    "pmi_collocations", "paragraph_dedup",
+    "pmi_collocations", "paragraph_dedup", "chunk_documents",
     # extras (need --extended)
     "minhash_signatures", "simhash", "dedup_corpus", "fingerprints",
     "token_counts", "winnow_fingerprints", "doc_tf_embeddings", "doc_quality",
