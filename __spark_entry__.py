@@ -2726,6 +2726,41 @@ FROM st
 """
 
 
+def _source_kl(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution —
+    the outlier-domain diagnostic behind mixture re-weighting. No
+    smoothing needed (source vocab ⊆ corpus vocab ⇒ KL finite, ≥ 0)."""
+    from ocr_spark.operators.textstats import source_kl_divergence
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return source_kl_divergence(docs)
+
+
+_SOURCE_KL_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS token
+  FROM documents
+),
+st AS (SELECT source, token, count(*) AS cst FROM toks GROUP BY source, token),
+stot AS (SELECT source, sum(cst) AS ns, count(*) AS types
+         FROM st GROUP BY source),
+corp AS (SELECT token, sum(cst) AS ct FROM st GROUP BY token),
+tot AS (SELECT sum(ct) AS n FROM corp)
+SELECT st.source,
+       CAST(max(stot.ns) AS BIGINT) AS n_tokens,
+       CAST(max(stot.types) AS BIGINT) AS n_types,
+       ROUND(sum((CAST(st.cst AS DOUBLE) / CAST(stot.ns AS DOUBLE))
+             * ln((CAST(st.cst AS DOUBLE) / CAST(stot.ns AS DOUBLE))
+                  / (CAST(corp.ct AS DOUBLE) / CAST(tot.n AS DOUBLE)))), 4)
+         AS kl_divergence
+FROM st
+JOIN corp USING (token)
+JOIN stot USING (source)
+CROSS JOIN tot
+GROUP BY st.source
+"""
+
+
 _PMI_MIN_COUNT = 5
 _PMI_K = 20
 
@@ -3438,6 +3473,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 session-2 family added after the gate reached 50
         # distinct families — fully oracle-backed here via --extended
         "chunk_documents": _chunk_documents,
+        "source_kl_divergence": _source_kl,
     }
 
 
@@ -3475,6 +3511,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SQL,
         "unigram_nll": _UNIGRAM_NLL_SQL,
         "chunk_documents": _CHUNK_SQL,
+        "source_kl_divergence": _SOURCE_KL_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

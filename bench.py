@@ -72,6 +72,7 @@ HEADLINE = [
     "pmi_collocations",
     "paragraph_dedup",
     "chunk_documents",
+    "source_kl_divergence",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

@@ -626,3 +626,61 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source KL divergence of the source's unigram distribution
+    from the corpus-wide distribution — the domain-shift diagnostic
+    behind mixture re-weighting decisions (the distribution-matching
+    view of Xie et al.'s DSIR, reduced to its per-SOURCE aggregate; a
+    source with high KL is an outlier domain worth capping or
+    re-weighting before training):
+
+        KL(p_s ‖ q) = Σ_t (c_st/n_s) · ln( (c_st/n_s) / (c_t/n) )
+
+    No smoothing is needed: every source token is a corpus token, so
+    q(t) > 0 wherever p_s(t) > 0, and KL is finite and ≥ 0 (Gibbs).
+    Returns (source, n_tokens, n_types, kl_divergence) with the KL
+    rounded to 4 dp — the repo's cross-engine contract for ln plus a
+    shuffle-order sum. Deterministic tie-free output: one row per
+    source, keyed by the group-by.
+
+    Shape at 100 TB: ONE (source, token) map-combined aggregate (the
+    only corpus-sized pass; output is sources × vocabulary, Zipf-
+    bounded), a source-totals rollup OF that aggregate (not a second
+    corpus pass), the corpus unigram table broadcast onto it, and one
+    per-source fold. No UDF, no driver state, no window.
+    """
+    from ocr_spark.functions.explode import explode_nonnull
+
+    toked = df.select(
+        F.col(source_col).alias("source"), tokens(text_col).alias("_kl_toks")
+    )
+    st = (
+        explode_nonnull(toked, "_kl_toks", "token", "source")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("_cst"))
+    )
+    src_tot = st.groupBy("source").agg(
+        F.sum("_cst").alias("_ns"), F.count(F.lit(1)).alias("_types")
+    )
+    corpus = st.groupBy("token").agg(F.sum("_cst").alias("_ct"))
+    totals = corpus.agg(F.sum("_ct").alias("_n"))
+    p = F.col("_cst").cast("double") / F.col("_ns").cast("double")
+    q = F.col("_ct").cast("double") / F.col("_n").cast("double")
+    term = p * F.log(p / q)
+    return (
+        st.join(F.broadcast(corpus), "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("source")
+        .agg(
+            F.max("_ns").alias("n_tokens"),
+            F.max("_types").alias("n_types"),
+            F.round(F.sum(term), 4).alias("kl_divergence"),
+        )
+    )

@@ -505,3 +505,56 @@ def test_pmi_topk_is_partial_topk_not_full_sort(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_source_kl_matches_python_reference(spark):
+    """Per-source KL vs a driver-side reference; Gibbs: KL >= 0, and a
+    source matching the corpus mix scores lower than a skewed one."""
+    import math
+    import re
+    from collections import Counter
+
+    from ocr_spark.operators.textstats import source_kl_divergence
+
+    docs = [
+        ("web", "the cat sat on the mat and the dog ran"),
+        ("web", "cat and dog and cat near the mat"),
+        ("code", "def foo return foo def bar return bar return return"),
+        ("mix", "the cat def foo dog return mat bar"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {r["source"]: r for r in source_kl_divergence(df).collect()}
+
+    def toks(s):
+        return re.findall(r"[a-z]{3,}", s.lower())
+
+    per_src = {}
+    for src, t in docs:
+        per_src.setdefault(src, Counter()).update(toks(t))
+    corpus = Counter()
+    for c in per_src.values():
+        corpus.update(c)
+    n = sum(corpus.values())
+    for src, c in per_src.items():
+        ns = sum(c.values())
+        kl = sum(
+            (cst / ns) * math.log((cst / ns) / (corpus[t] / n))
+            for t, cst in c.items()
+        )
+        assert got[src]["n_tokens"] == ns
+        assert got[src]["n_types"] == len(c)
+        assert got[src]["kl_divergence"] == pytest.approx(round(kl, 4))
+        assert got[src]["kl_divergence"] >= 0.0
+    # the blended source is closer to the corpus than the skewed one
+    assert got["mix"]["kl_divergence"] < got["code"]["kl_divergence"]
+
+
+def test_source_kl_single_source_is_zero(spark):
+    from ocr_spark.operators.textstats import source_kl_divergence
+
+    df = spark.createDataFrame(
+        [("only", "alpha beta gamma alpha")], "source string, text string"
+    )
+    rows = source_kl_divergence(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["kl_divergence"] == 0.0
