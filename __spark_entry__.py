@@ -3211,6 +3211,232 @@ FROM (
 # ---------------------------------------------------------------------------
 
 
+# --- round-5 session-3 families: C4 rule gate, encoding repair, Flesch,
+# --- lexical diversity, deterministic splits -------------------------------
+
+#: c4_filters gate config, tuned so every rule actually fires on the tier
+#: corpus (no newlines/punctuation in the synthetic documents, so the
+#: segment delimiter is the line_strip/paragraph_dedup convention and the
+#: terminal-punct rule — exercised by pytest fixtures with real
+#: punctuation — is toggled off here).
+_C4_DELIM = " the "
+_C4_MIN_WORDS = 8
+_C4_LINE_BLOCK = ("slow",)
+_C4_DOC_BLOCK = ("vector",)
+
+
+def _c4_filters(spark, sf_dir):
+    """C4 heuristic rule gate (Raffel et al. 2020 §2.2): rule-based
+    line filtering (min words, blocklist term) + document-level keep
+    flag — the rule-based complement to the gated corpus-frequency
+    line_strip and first-winner paragraph_dedup."""
+    from ocr_spark.operators.curation import c4_rule_filters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return c4_rule_filters(
+        docs,
+        delimiter=_C4_DELIM,
+        min_words=_C4_MIN_WORDS,
+        require_terminal_punct=False,
+        min_sentences=0,
+        line_blocklist=_C4_LINE_BLOCK,
+        doc_blocklist=_C4_DOC_BLOCK,
+    )
+
+
+_C4_FILTERS_SQL = f"""
+WITH ls AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE string_split(text, '{_C4_DELIM}') END AS segs
+  FROM documents
+),
+marks AS (
+  SELECT doc_id, text, segs,
+         list_filter(segs, l ->
+             len(regexp_extract_all(l, '\\S+')) >= {_C4_MIN_WORDS}
+             AND NOT contains(lower(l), '{_C4_LINE_BLOCK[0]}')) AS kept
+  FROM ls
+)
+SELECT doc_id,
+  coalesce(array_to_string(kept, '{_C4_DELIM}'), '') AS clean_text,
+  CAST(coalesce(len(segs), 0) AS INT) AS n_lines,
+  CAST(coalesce(len(kept), 0) AS INT) AS n_kept,
+  CAST(coalesce(len(list_filter(segs,
+      l -> len(regexp_extract_all(l, '\\S+')) < {_C4_MIN_WORDS})), 0)
+    AS INT) AS drop_short,
+  CAST(0 AS INT) AS drop_nopunct,
+  CAST(coalesce(len(list_filter(segs,
+      l -> contains(lower(l), '{_C4_LINE_BLOCK[0]}'))), 0)
+    AS INT) AS drop_term,
+  CAST(coalesce(len(regexp_extract_all(
+      coalesce(array_to_string(kept, '{_C4_DELIM}'), ''), '[.!?]+')), 0)
+    AS INT) AS n_sentences,
+  CASE WHEN text IS NULL THEN FALSE
+       ELSE NOT contains(lower(text), '{_C4_DOC_BLOCK[0]}') END AS keep_doc
+FROM marks
+"""
+
+
+def _mojibake_repair(spark, sf_dir):
+    """ftfy-style encoding repair: cp1252-mojibake undo + one HTML
+    entity decode level, with per-family occurrence counters. The tier
+    corpus is clean ASCII (counters 0, clean_text == text — itself an
+    exact-equality check of the 49-step fold); the rule-firing paths are
+    pytest-pinned on planted artifacts."""
+    from ocr_spark.operators.curation import mojibake_repair
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return mojibake_repair(docs)
+
+
+def _mojibake_sql() -> str:
+    from ocr_spark.operators.curation import (
+        ENTITY_REPAIRS,
+        MOJIBAKE_REPAIRS,
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "text"
+    for bad, good in MOJIBAKE_REPAIRS + ENTITY_REPAIRS:
+        expr = f"replace({expr}, '{esc(bad)}', '{esc(good)}')"
+
+    def cnt(pairs) -> str:
+        return " + ".join(
+            f"((length(text) - length(replace(text, '{esc(b)}', '')))"
+            f" // {len(b)})"
+            for b, _ in pairs
+        )
+
+    return f"""
+SELECT doc_id AS id,
+       coalesce({expr}, '') AS clean_text,
+       CAST(coalesce({cnt(MOJIBAKE_REPAIRS)}, 0) AS BIGINT) AS n_encoding,
+       CAST(coalesce({cnt(ENTITY_REPAIRS)}, 0) AS BIGINT) AS n_entities
+FROM documents
+"""
+
+
+def _flesch_readability(spark, sf_dir):
+    """Flesch reading-ease per document (vowel-group syllable heuristic,
+    floored sentence count) — one fixed-order IEEE expression over exact
+    integer counts, bit-identical cross-engine with no rounding."""
+    from ocr_spark.operators.textstats import with_flesch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_flesch(docs).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch"
+    )
+
+
+_FLESCH_SQL = """
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS ws
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         greatest(1, len(regexp_extract_all(coalesce(text, ''), '[.!?]+')))
+           AS n_sentences,
+         coalesce(list_sum(list_transform(ws,
+             x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)
+           AS n_syllables
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       CAST(n_sentences AS INT) AS n_sentences,
+       CAST(n_syllables AS INT) AS n_syllables,
+       CASE WHEN n_words > 0 THEN
+         206.835
+         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       END AS flesch
+FROM c
+"""
+
+
+def _lexical_diversity(spark, sf_dir):
+    """Per-source type-token ratio / hapax ratio / Zipf OLS slope over
+    the unigram distribution — the lexical-health diagnostic beside the
+    gated source_kl_divergence (4-dp ln contract on the slope)."""
+    from ocr_spark.operators.textstats import lexical_diversity
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return lexical_diversity(docs)
+
+
+_LEXDIV_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS token
+  FROM documents
+),
+st AS (SELECT source, token, count(*) AS c FROM toks GROUP BY source, token),
+r AS (
+  SELECT source, c,
+         ln(CAST(row_number() OVER (PARTITION BY source
+             ORDER BY c DESC, token ASC) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM st
+),
+a AS (
+  SELECT source, sum(c) AS nt, count(*) AS ty,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hx,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM r GROUP BY source
+)
+SELECT source,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(ty AS BIGINT) AS n_types,
+       ROUND(CAST(ty AS DOUBLE) / CAST(nt AS DOUBLE), 4) AS ttr,
+       ROUND(CAST(hx AS DOUBLE) / CAST(ty AS DOUBLE), 4) AS hapax_ratio,
+       ROUND(CASE WHEN CAST(ty AS DOUBLE) * sxx - sx * sx = 0 THEN 0.0
+             ELSE (CAST(ty AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(ty AS DOUBLE) * sxx - sx * sx) END, 4)
+         AS zipf_slope
+FROM a
+"""
+
+
+def _split_summary(spark, sf_dir):
+    """Deterministic train/val/test hash-split accounting: md5-bucket
+    assignment (coordination-free, partitioning-independent) + per-split
+    doc/token totals and realized fractions."""
+    from ocr_spark.operators.sharding import split_summary
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return split_summary(docs)
+
+
+_SPLIT_SUMMARY_SQL = f"""
+WITH a AS (
+  SELECT CASE
+           WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 10000 < 9000 THEN 'train'
+           WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 10000 < 9500 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         len(regexp_extract_all(lower(text), '{WORD_RE}')) AS nt
+  FROM documents
+),
+p AS (
+  SELECT split, count(*) AS n_docs, sum(coalesce(nt, 0)) AS n_tokens
+  FROM a GROUP BY split
+),
+t AS (SELECT sum(n_docs) AS total FROM p)
+SELECT split,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 4) AS frac_docs
+FROM p CROSS JOIN t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2 plus the
     training-data-pipeline operators. Keys ↔ oracle_sql keys.
@@ -3251,8 +3477,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_near_dup": _jaccard_near_dup,
         "dedup_clusters": _dedup_clusters,
         "simhash_near_dup": _simhash_near_dup,
-        "decontaminate": _decontaminate,
         "curate_corpus": _curate_corpus,
+        # C4 heuristic rule gate (round-5 session-3 rotation: newest
+        # family gets a gate row; decontaminate — composed verbatim
+        # inside the gated curate_corpus, with its Bloom sibling already
+        # an extra — displaced to extras, the same composition rule that
+        # displaced stratified_sample)
+        "c4_filters": _c4_filters,
         # character edit-distance near-dup (round-5 rotation: newest
         # family gets a gate row; stratified_sample — composed inside the
         # gated curate_corpus, the fingerprints⊂source_stats rule —
@@ -3356,8 +3587,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_near_dup": _JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "simhash_near_dup": _SIMHASH_NEAR_DUP_SQL,
-        "decontaminate": _DECONTAMINATE_SQL,
         "curate_corpus": _curate_sql(),
+        "c4_filters": _C4_FILTERS_SQL,
         "edit_near_dup": _EDIT_NEAR_DUP_SQL,
         "winnow_near_dup": _WINNOW_NEAR_DUP_SQL,
         "substr_dup_stats": _SUBSTR_DUP_SQL,
@@ -3474,6 +3705,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distinct families — fully oracle-backed here via --extended
         "chunk_documents": _chunk_documents,
         "source_kl_divergence": _source_kl,
+        # displaced by the round-5 session-3 c4_filters rotation:
+        # composed verbatim inside the gated curate_corpus (its Bloom
+        # sibling was already here) — still exact-oracle verified
+        "decontaminate": _decontaminate,
+        # round-5 session-3 families beyond the 50-distinct-family gate —
+        # all exact-oracle backed here via --extended
+        "mojibake_repair": _mojibake_repair,
+        "flesch_readability": _flesch_readability,
+        "lexical_diversity": _lexical_diversity,
+        "split_summary": _split_summary,
     }
 
 
@@ -3512,6 +3753,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "unigram_nll": _UNIGRAM_NLL_SQL,
         "chunk_documents": _CHUNK_SQL,
         "source_kl_divergence": _SOURCE_KL_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
+        "mojibake_repair": _mojibake_sql(),
+        "flesch_readability": _FLESCH_SQL,
+        "lexical_diversity": _LEXDIV_SQL,
+        "split_summary": _SPLIT_SUMMARY_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

@@ -21,7 +21,7 @@ the redundant physical work removed.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.dedup import (
@@ -696,4 +696,251 @@ def paragraph_dedup(
             .cast("int")
             .alias("n_removed"),
         )
+    )
+
+
+#: C4's page-level drop markers (Raffel et al. 2020 §2.2): curly braces
+#: signal code, "lorem ipsum" signals placeholder boilerplate.
+C4_DOC_BLOCKLIST = ("{", "lorem ipsum")
+#: C4's line-level drop marker.
+C4_LINE_BLOCKLIST = ("javascript",)
+
+
+def c4_rule_filters(
+    docs: DataFrame,
+    *,
+    delimiter: str = "\n",
+    min_words: int = 5,
+    require_terminal_punct: bool = True,
+    min_sentences: int = 3,
+    line_blocklist: tuple[str, ...] = C4_LINE_BLOCKLIST,
+    doc_blocklist: tuple[str, ...] = C4_DOC_BLOCKLIST,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The C4 heuristic rule gate (Raffel et al. 2020 §2.2) — the
+    RULE-BASED complement to the corpus-frequency :func:`line_strip` and
+    first-winner :func:`paragraph_dedup`: a line survives iff it ends in
+    a terminal punctuation mark (``. ! ? "``, after right-trim; rule
+    toggled by ``require_terminal_punct``), carries at least
+    ``min_words`` whitespace-delimited words, and contains no
+    ``line_blocklist`` term (case-insensitive — C4 drops any line with
+    the word "javascript"); a document is flagged keep iff its SURVIVING
+    text still counts at least ``min_sentences`` sentence terminals
+    (runs of ``[.!?]``) and the ORIGINAL text contains no
+    ``doc_blocklist`` marker (C4: pages with "{" or "lorem ipsum" are
+    dropped whole). Reference parity: the reference applies per-page
+    cleanup heuristics inside its extraction loop (main.py's page loop);
+    this is the corpus-wide relational form of that gate.
+
+    Returns one row per input document:
+    ``(id_col, clean_text, n_lines, n_kept, drop_short, drop_nopunct,
+    drop_term, n_sentences, keep_doc)``. The three drop counters count
+    rule VIOLATIONS independently (a line failing two rules increments
+    both), so each rule's bite is observable per document; ``n_kept``
+    counts lines passing all three. NULL text yields
+    ``('', 0, 0, 0, 0, 0, 0, false)``.
+
+    Exactness contract (shared with line_strip): the delimiter is a
+    literal (escaped before ``F.split``), split keeps trailing empty
+    segments (limit −1), words are ``\\S+`` runs, reassembly joins with
+    the same delimiter — pure string/integer ops, no floats anywhere.
+
+    Scale shape (100 TB): ONE narrow projection — every rule is a
+    higher-order-function filter over the split array, zero shuffles,
+    zero UDFs, fan-in bounded by lines-per-document. The rule stages are
+    separate Projects whose multi-referenced expensive expressions
+    Catalyst's CollapseProject declines to inline, so each regex pass
+    runs a bounded number of times per line.
+    """
+    import re as _re
+
+    if min_words < 0 or min_sentences < 0:
+        raise ValueError("min_words and min_sentences must be >= 0")
+    if delimiter == "":
+        raise ValueError("delimiter must be non-empty")
+
+    def punct_ok(line):
+        if not require_terminal_punct:
+            return F.lit(True)
+        return F.rtrim(line).rlike('[.!?"]$')
+
+    def words_ok(line):
+        return (
+            F.size(F.regexp_extract_all(line, F.lit(r"\S+"), F.lit(0)))
+            >= min_words
+        )
+
+    def block_hit(line):
+        hit = F.lit(False)
+        for term in line_blocklist:
+            hit = hit | F.contains(F.lower(line), F.lit(term.lower()))
+        return hit
+
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_txt"),
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.split(F.col(text_col), _re.escape(delimiter), -1),
+        ).alias("_ls"),
+    )
+    counted = staged.select(
+        "id",
+        "_txt",
+        F.when(F.col("_ls").isNull(), F.lit(0))
+        .otherwise(F.size("_ls"))
+        .alias("_n_lines"),
+        F.size(F.filter("_ls", lambda l: ~punct_ok(l))).alias("_d_punct"),
+        F.size(F.filter("_ls", lambda l: ~words_ok(l))).alias("_d_short"),
+        F.size(F.filter("_ls", lambda l: block_hit(l))).alias("_d_term"),
+        F.filter(
+            "_ls", lambda l: punct_ok(l) & words_ok(l) & ~block_hit(l)
+        ).alias("_kept"),
+    )
+    assembled = counted.select(
+        "id",
+        "_txt",
+        "_n_lines",
+        "_d_punct",
+        "_d_short",
+        "_d_term",
+        F.when(F.col("_kept").isNull(), F.lit(0))
+        .otherwise(F.size("_kept"))
+        .alias("_n_kept"),
+        F.coalesce(F.array_join("_kept", delimiter), F.lit("")).alias(
+            "_clean"
+        ),
+    )
+    doc_block = F.lit(False)
+    for term in doc_blocklist:
+        doc_block = doc_block | F.contains(
+            F.lower(F.col("_txt")), F.lit(term.lower())
+        )
+    n_sent = F.size(
+        F.regexp_extract_all(F.col("_clean"), F.lit(r"[.!?]+"), F.lit(0))
+    )
+    return assembled.select(
+        F.col("id").alias(id_col),
+        F.col("_clean").alias("clean_text"),
+        F.col("_n_lines").cast("int").alias("n_lines"),
+        F.col("_n_kept").cast("int").alias("n_kept"),
+        F.coalesce(F.col("_d_short"), F.lit(0)).cast("int").alias(
+            "drop_short"
+        ),
+        F.coalesce(F.col("_d_punct"), F.lit(0)).cast("int").alias(
+            "drop_nopunct"
+        ),
+        F.coalesce(F.col("_d_term"), F.lit(0)).cast("int").alias(
+            "drop_term"
+        ),
+        n_sent.cast("int").alias("n_sentences"),
+        F.when(
+            F.col("_txt").isNotNull(),
+            (n_sent >= min_sentences) & ~doc_block,
+        )
+        .otherwise(F.lit(False))
+        .alias("keep_doc"),
+    )
+
+
+def _cp1252_mojibake(ch: str) -> str | None:
+    """The UTF-8-bytes-read-as-cp1252 corruption of ``ch`` — the single
+    most common encoding artifact in web-crawled text (what ftfy's
+    sloppy-cp1252 heuristic undoes). Characters whose UTF-8 bytes hit a
+    cp1252 hole (0x81/8D/8F/90/9D) are skipped (strict decode only), so
+    every table entry is printable in both engines' SQL literals."""
+    try:
+        return ch.encode("utf-8").decode("cp1252")
+    except UnicodeDecodeError:
+        return None
+
+
+#: characters whose mojibake form we repair; the table is DERIVED (not
+#: hand-typed) so the Spark fold and the SQL oracle share one source of
+#: truth. Order: longest corrupted form first (3-byte UTF-8 before
+#: 2-byte), then by codepoint — a fixed total order both engines replay.
+_MOJI_CHARS = "’‘“—–… " + (
+    "éèêëáàâäçñíìîóòôöúùûü£©®°·«»"
+)
+MOJIBAKE_REPAIRS: list[tuple[str, str]] = sorted(
+    (
+        (bad, ch)
+        for ch in _MOJI_CHARS
+        if (bad := _cp1252_mojibake(ch)) is not None
+    ),
+    key=lambda p: (-len(p[0]), p[1]),
+)
+
+#: HTML entity decode table, ONE unescape level (html.unescape parity on
+#: singly-escaped text). Application order is list order; ``&amp;`` runs
+#: LAST so double-escaped entities decode exactly one level
+#: (``&amp;lt;`` → ``&lt;``, never ``<``).
+ENTITY_REPAIRS: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&rsquo;", "’"),
+    ("&lsquo;", "‘"),
+    ("&rdquo;", "”"),
+    ("&ldquo;", "“"),
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&hellip;", "…"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+]
+
+
+def mojibake_repair(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encoding-artifact repair for crawled text — the ftfy-style fix
+    pass an extraction pipeline runs before any tokenization: undo
+    UTF-8-read-as-cp1252 mojibake (``MOJIBAKE_REPAIRS``, a table DERIVED
+    from the encode/decode round-trip) and decode one level of HTML
+    entities (``ENTITY_REPAIRS``; ``&amp;`` last). Returns
+    ``(id_col, clean_text, n_encoding, n_entities)``; NULL text yields
+    ``('', 0, 0)``.
+
+    Exactness contract: replacements are literal (no regex), applied as
+    ONE fold in the fixed table order — both engines' ``replace`` scans
+    left-to-right non-overlapping, so the chained result is
+    deterministic and identical. The two counters are occurrence counts
+    of each corrupted form in the INPUT text (measured before the fold,
+    via the length-delta identity ``(len(t) − len(replace(t, bad, '')))
+    / len(bad)`` — exact integer arithmetic), not fold-state counts:
+    input-measured counts are order-independent and SQL-mirrorable
+    without materializing every intermediate string.
+
+    Scale shape (100 TB): ONE narrow projection, zero shuffles, zero
+    UDFs — the fold is a chain of JVM ``replace`` calls inside
+    whole-stage codegen; per-pattern counting re-reads the input column
+    (O(patterns · bytes) per row, all columnar).
+    """
+    t = F.col(text_col)
+    clean = t
+    for bad, good in MOJIBAKE_REPAIRS + ENTITY_REPAIRS:
+        clean = F.replace(clean, F.lit(bad), F.lit(good))
+
+    def occurrences(pairs) -> Column:
+        total = F.lit(0).cast("long")
+        for bad, _ in pairs:
+            total = total + F.floor(
+                (F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit(""))))
+                / F.lit(len(bad))
+            ).cast("long")
+        return total
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(clean, F.lit("")).alias("clean_text"),
+        F.coalesce(occurrences(MOJIBAKE_REPAIRS), F.lit(0))
+        .cast("long")
+        .alias("n_encoding"),
+        F.coalesce(occurrences(ENTITY_REPAIRS), F.lit(0))
+        .cast("long")
+        .alias("n_entities"),
     )

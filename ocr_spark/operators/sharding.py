@@ -221,3 +221,93 @@ def chunk_documents(
             F.size("_ck_win").cast("int").alias("n_chunk_tokens"),
         )
     )
+
+
+#: default split fractions in basis points of a 10k hash domain:
+#: [0, 9000) train, [9000, 9500) val, [9500, 10000) test.
+SPLIT_DOMAIN = 10_000
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
+    ("train", 9_000),
+    ("val", 9_500),
+    ("test", 10_000),
+)
+
+
+def assign_splits(
+    df: DataFrame,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — the hash-bucket
+    rule every large-scale pipeline uses so that reruns, resumes, and
+    every downstream consumer agree on membership with NO coordination
+    and no stored split table: bucket = md5_mod(str(id), 10000), split =
+    the first entry whose exclusive upper bound (in basis points)
+    exceeds the bucket. Adds a ``split`` column; assignment depends only
+    on the id — never on partitioning, row order, or cluster size (the
+    same portability contract as :func:`shard_id`).
+
+    ``splits`` is an ordered (name, upper_bound_bp) tuple; bounds must be
+    strictly increasing and end at exactly ``SPLIT_DOMAIN`` so the
+    assignment is total.
+    """
+    from ocr_spark.functions.hashing import md5_mod
+
+    bounds = [b for _, b in splits]
+    if bounds != sorted(set(bounds)) or bounds[-1] != SPLIT_DOMAIN:
+        raise ValueError(
+            f"split bounds must be strictly increasing and end at "
+            f"{SPLIT_DOMAIN}, got {bounds}"
+        )
+    bucket = md5_mod(F.col(id_col).cast("string"), SPLIT_DOMAIN)
+    expr = None
+    for name, ub in splits:
+        cond = bucket < ub
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.select("*", expr.alias("split"))
+
+
+def split_summary(
+    df: DataFrame,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-split corpus accounting for :func:`assign_splits`:
+    (split, n_docs, n_tokens, frac_docs) — the audit every split rule
+    ships with, so the realized fractions are observable against the
+    declared basis points (hash placement is binomial, not exact).
+    ``frac_docs`` divides two exact integer counts (one fixed-order
+    division, 4-dp contract); totals ride a one-row broadcast frame, the
+    repo's lazy-global-stats idiom — no window over the splits table.
+
+    Scale shape (100 TB): one narrow projection (hash + token count) +
+    ONE map-combined aggregate to ≤ len(splits) rows.
+    """
+    from ocr_spark.operators.textstats import tokens
+
+    assigned = assign_splits(df, splits, id_col).select(
+        "split", F.size(tokens(text_col)).alias("_nt")
+    )
+    per = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("_nt"), F.lit(0))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("_total"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "split",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("_total").cast("double"),
+                4,
+            ).alias("frac_docs"),
+        )
+    )

@@ -684,3 +684,152 @@ def source_kl_divergence(
             F.round(F.sum(term), 4).alias("kl_divergence"),
         )
     )
+
+
+def with_flesch(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease score per document (Flesch 1948; the Kincaid
+    recalibration constants are the public US-Navy report values):
+
+        FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    — the classic surface-readability quality signal (alongside the
+    Gopher repetition and stopword-ratio gates) for corpus filtering.
+    Words are lowercase alphabetic runs ``[a-z]+``; sentences are runs
+    of ``[.!?]`` (floored at 1, so unpunctuated text scores as a single
+    run-on sentence); syllables use the standard vowel-group heuristic —
+    count of ``[aeiouy]+`` runs per word, floored at 1 (no silent-e
+    special case: the heuristic is the contract, documented and mirrored
+    exactly in the oracle). Adds ``n_words``, ``n_sentences``,
+    ``n_syllables``, ``flesch`` (NULL when the document has no words;
+    the score is one fixed-order IEEE expression over exact integer
+    counts — no transcendentals, so both engines produce bit-identical
+    doubles with NO rounding).
+
+    Scale shape (100 TB): ONE narrow projection — the syllable count is
+    a higher-order ``aggregate`` over the word array, zero shuffles,
+    zero UDFs, whole-stage codegen throughout.
+    """
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+    )
+    staged = df.select("*", words.alias("_fw"))
+    n_words = F.when(F.col("_fw").isNull(), F.lit(0)).otherwise(
+        F.size("_fw")
+    )
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(
+            F.coalesce(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(r"[.!?]+"), F.lit(0)
+                ),
+                F.array().cast("array<string>"),
+            )
+        ),
+    )
+    syllables = F.aggregate(
+        F.coalesce(F.col("_fw"), F.array().cast("array<string>")),
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(
+                F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))
+            ),
+        ),
+    )
+    counted = staged.select(
+        "*",
+        n_words.cast("int").alias("n_words"),
+        n_sent.cast("int").alias("n_sentences"),
+        syllables.cast("int").alias("n_syllables"),
+    ).drop("_fw")
+    w, s, sy = (F.col(c) for c in ("n_words", "n_sentences", "n_syllables"))
+    return counted.select(
+        "*",
+        F.when(
+            w > 0,
+            F.lit(206.835)
+            - F.lit(1.015) * (w / s)
+            - F.lit(84.6) * (sy / w),
+        ).alias("flesch"),
+    )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source lexical-diversity diagnostics over the unigram
+    distribution — the Zipf/Heaps health check run before mixing a
+    source into a training corpus (a source whose type–token ratio or
+    Zipf slope is far off the corpus norm is template spam, tables, or
+    machine-generated filler):
+
+    - ``ttr`` — type–token ratio, distinct types / total tokens;
+    - ``hapax_ratio`` — fraction of types occurring exactly once
+      (Baayen's hapax-based productivity measure);
+    - ``zipf_slope`` — OLS slope of ln(count) on ln(rank), ranks
+      assigned by (count desc, token asc) row_number (a total order, so
+      rank assignment is engine-deterministic even among tied counts);
+      ≈ −1 for natural Zipfian text (Zipf 1949).
+
+    Returns (source, n_tokens, n_types, ttr, hapax_ratio, zipf_slope).
+    ttr/hapax divide exact integer aggregates (one fixed-order division
+    each); the slope's Σln sums are shuffle-order-dependent doubles, so
+    all three ride the repo's 4-dp cross-engine contract. A one-type
+    source has a zero OLS denominator (ln rank ≡ 0, exactly, in both
+    engines) and reports slope 0.0.
+
+    Scale shape (100 TB): ONE corpus-sized (source, token) map-combined
+    aggregate; ranks are a per-source window over the VOCABULARY (types,
+    not tokens — Zipf-bounded); the diagnostics are one further
+    per-source fold of that table. No UDFs, no second corpus pass.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    rk = st.select(
+        "source",
+        "c",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("c").desc(), F.col("token").asc()
+            )
+        )
+        .alias("rk"),
+    )
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    agg = rk.groupBy("source").agg(
+        F.sum("c").alias("_nt"),
+        F.count(F.lit(1)).alias("_ty"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("_hx"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    n = F.col("_ty").cast("double")
+    denom = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(denom == 0, F.lit(0.0)).otherwise(
+        (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / denom
+    )
+    return agg.select(
+        "source",
+        F.col("_nt").cast("long").alias("n_tokens"),
+        F.col("_ty").cast("long").alias("n_types"),
+        F.round(
+            F.col("_ty").cast("double") / F.col("_nt").cast("double"), 4
+        ).alias("ttr"),
+        F.round(
+            F.col("_hx").cast("double") / F.col("_ty").cast("double"), 4
+        ).alias("hapax_ratio"),
+        F.round(slope, 4).alias("zipf_slope"),
+    )

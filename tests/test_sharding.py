@@ -256,3 +256,70 @@ def test_chunk_documents_plan_is_narrow(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+# --- deterministic splits ---------------------------------------------------
+
+
+def test_assign_splits_matches_md5_reference(spark):
+    import hashlib
+
+    from ocr_spark.operators.sharding import DEFAULT_SPLITS, assign_splits
+
+    docs = [(i, f"text {i}") for i in range(200)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["split"] for r in assign_splits(sdf).collect()
+    }
+
+    def ref(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+        for name, ub in DEFAULT_SPLITS:
+            if b < ub:
+                return name
+
+    assert got == {i: ref(i) for i, _ in docs}
+    assert set(got.values()) == {"train", "val", "test"}
+
+
+def test_assign_splits_partitioning_invariant(spark):
+    from ocr_spark.operators.sharding import assign_splits
+
+    docs = [(i, "x") for i in range(300)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    one = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(sdf.coalesce(1)).collect()
+    }
+    many = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(sdf.repartition(7)).collect()
+    }
+    assert one == many
+
+
+def test_split_summary_fractions(spark):
+    from ocr_spark.operators.sharding import split_summary
+
+    docs = [(i, "alpha beta gamma") for i in range(500)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["split"]: r for r in split_summary(sdf).collect()}
+    assert sum(r["n_docs"] for r in rows.values()) == 500
+    assert abs(sum(r["frac_docs"] for r in rows.values()) - 1.0) < 2e-4
+    # 3 regex tokens per doc
+    for r in rows.values():
+        assert r["n_tokens"] == 3 * r["n_docs"]
+    # realized fractions binomially near the declared 90/5/5
+    assert 0.8 < rows["train"]["frac_docs"] < 0.97
+
+
+def test_assign_splits_validates_bounds(spark):
+    import pytest as _pytest
+
+    from ocr_spark.operators.sharding import assign_splits
+
+    sdf = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="bounds"):
+        assign_splits(sdf, splits=(("train", 5000), ("val", 4000)))
+    with _pytest.raises(ValueError, match="bounds"):
+        assign_splits(sdf, splits=(("train", 5000), ("val", 9999)))

@@ -558,3 +558,134 @@ def test_source_kl_single_source_is_zero(spark):
     rows = source_kl_divergence(df).collect()
     assert len(rows) == 1
     assert rows[0]["kl_divergence"] == 0.0
+
+
+# --- Flesch reading ease ----------------------------------------------------
+
+
+def _flesch_ref(t):
+    import re as _re
+
+    if t is None:
+        return (0, 1, 0, None)
+    ws = _re.findall("[a-z]+", t.lower())
+    n_w = len(ws)
+    n_s = max(1, len(_re.findall(r"[.!?]+", t)))
+    n_sy = sum(max(1, len(_re.findall("[aeiouy]+", w))) for w in ws)
+    fre = (
+        206.835 - 1.015 * (n_w / n_s) - 84.6 * (n_sy / n_w)
+        if n_w
+        else None
+    )
+    return (n_w, n_s, n_sy, fre)
+
+
+def test_flesch_matches_python_reference(spark):
+    from ocr_spark.operators.textstats import with_flesch
+
+    docs = [
+        (0, "The cat sat on the mat. It was a simple day!"),
+        (1, "Incomprehensibilities notwithstanding, psychophysiological "
+            "manifestations materialized unceremoniously."),
+        (2, "no terminal punctuation at all in this run on line"),
+        (3, "Wow!!! Three??? Runs... of punct"),
+        (4, ""),
+        (5, None),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_sentences"],
+            r["n_syllables"],
+            r["flesch"],
+        )
+        for r in with_flesch(sdf).collect()
+    }
+    for i, t in docs:
+        # the score is ONE fixed-order IEEE expression over exact integer
+        # counts — Python replays it bit-for-bit, so == not approx
+        assert rows[i] == _flesch_ref(t), f"doc {i}"
+    # long-word doc reads much harder than the simple one
+    assert rows[1][3] < rows[0][3]
+
+
+def test_flesch_plan_is_narrow(spark):
+    from ocr_spark.operators.textstats import with_flesch
+
+    sdf = spark.createDataFrame([(1, "A b c.")], "doc_id long, text string")
+    plan = with_flesch(sdf)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+# --- lexical diversity ------------------------------------------------------
+
+
+def _lexdiv_ref(docs):
+    import math
+    import re as _re
+    from collections import Counter
+
+    by_src: dict = {}
+    for src, t in docs:
+        by_src.setdefault(src, Counter()).update(
+            _re.findall("[a-z]{3,}", (t or "").lower())
+        )
+    out = {}
+    for src, cnt in by_src.items():
+        if not cnt:
+            continue
+        nt = sum(cnt.values())
+        ty = len(cnt)
+        hx = sum(1 for c in cnt.values() if c == 1)
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        xs = [math.log(r) for r in range(1, ty + 1)]
+        ys = [math.log(c) for _, c in ranked]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        denom = ty * sxx - sx * sx
+        slope = 0.0 if denom == 0 else (ty * sxy - sx * sy) / denom
+        out[src] = (
+            nt,
+            ty,
+            round(ty / nt, 4),
+            round(hx / ty, 4),
+            round(slope, 4),
+        )
+    return out
+
+
+def test_lexical_diversity_matches_python_reference(spark):
+    from ocr_spark.operators.textstats import lexical_diversity
+
+    docs = [
+        ("a", "the cat cat cat sat sat mat river river river river run"),
+        ("a", "cat and mat and river again plus some fresh words here"),
+        ("b", "unique words only appear once each time forever"),
+        ("c", "solo solo solo solo"),  # single type -> slope 0.0
+    ]
+    sdf = spark.createDataFrame(docs, "source string, text string")
+    rows = {
+        r["source"]: (
+            r["n_tokens"],
+            r["n_types"],
+            r["ttr"],
+            r["hapax_ratio"],
+            r["zipf_slope"],
+        )
+        for r in lexical_diversity(sdf).collect()
+    }
+    ref = _lexdiv_ref(docs)
+    assert set(rows) == set(ref)
+    for src in ref:
+        assert rows[src][:2] == ref[src][:2], src
+        # exact-integer divisions match exactly; the slope's double sums
+        # are order-dependent, so compare at the 4-dp contract
+        assert rows[src][2] == ref[src][2], src
+        assert rows[src][3] == ref[src][3], src
+        assert abs(rows[src][4] - ref[src][4]) <= 1e-4, src
+    assert rows["c"][4] == 0.0
+    # natural-ish text has a negative Zipf slope
+    assert rows["a"][4] < 0
