@@ -73,6 +73,11 @@ HEADLINE = [
     "paragraph_dedup",
     "chunk_documents",
     "source_kl_divergence",
+    "c4_filters",
+    "mojibake_repair",
+    "flesch_readability",
+    "lexical_diversity",
+    "split_summary",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

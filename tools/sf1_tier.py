@@ -35,7 +35,8 @@ DOC_QUERIES = [
     "gopher_repetition", "unigram_nll", "bigram_nll", "line_strip",
     "rrf_fusion", "tfidf_topk_terms", "edit_near_dup",
     "pmi_collocations", "paragraph_dedup", "chunk_documents",
-    "source_kl_divergence",
+    "source_kl_divergence", "c4_filters", "mojibake_repair",
+    "flesch_readability", "lexical_diversity", "split_summary",
     # extras (need --extended)
     "minhash_signatures", "simhash", "dedup_corpus", "fingerprints",
     "token_counts", "winnow_fingerprints", "doc_tf_embeddings", "doc_quality",
