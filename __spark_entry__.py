@@ -3437,6 +3437,114 @@ FROM p CROSS JOIN t
 """
 
 
+def _char_entropy(spark, sf_dir):
+    """Shannon character entropy per document — the binary-junk /
+    base64-blob detector; fixed-iteration-order fold over the sorted
+    charset, 4-dp ln contract, '0.0 − sum' form so a single-character
+    document cannot emit −0.0."""
+    from ocr_spark.operators.textstats import with_char_entropy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_char_entropy(docs).select(
+        "doc_id", "n_chars", "n_charset", "char_entropy"
+    )
+
+
+_CHAR_ENTROPY_SQL = """
+WITH cs AS (
+  SELECT doc_id,
+         CASE WHEN text IS NOT NULL AND length(text) > 0
+              THEN string_split(text, '') END AS ce
+  FROM documents
+),
+alpha AS (SELECT doc_id, ce, list_sort(list_distinct(ce)) AS al FROM cs)
+SELECT doc_id,
+  CAST(coalesce(len(ce), 0) AS INT) AS n_chars,
+  CAST(coalesce(len(al), 0) AS INT) AS n_charset,
+  coalesce(ROUND(0.0 - list_sum(list_transform(al, c ->
+      (CAST(len(list_filter(ce, x -> x = c)) AS DOUBLE)
+         / CAST(len(ce) AS DOUBLE))
+      * ln(CAST(len(list_filter(ce, x -> x = c)) AS DOUBLE)
+           / CAST(len(ce) AS DOUBLE)))), 4), 0.0) AS char_entropy
+FROM alpha
+"""
+
+
+_HEAPS_POINTS = 25
+
+
+def _heaps_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve: cumulative tokens vs cumulative
+    first-occurrence types at equal-width doc-id checkpoints — the
+    window input is pre-aggregated to <= n_points rows, so the ordered
+    cumulative window is bounded by the checkpoint count."""
+    from ocr_spark.operators.textstats import heaps_growth
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return heaps_growth(docs, n_points=_HEAPS_POINTS)
+
+
+_HEAPS_SQL = f"""
+WITH b AS (
+  SELECT min(doc_id) AS lo,
+         (max(doc_id) - min(doc_id) + {_HEAPS_POINTS}) // {_HEAPS_POINTS} AS w
+  FROM documents
+),
+toks AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS token
+  FROM documents
+),
+tb AS (SELECT (id - b.lo) // b.w AS bucket, token, id FROM toks CROSS JOIN b),
+pbt AS (SELECT bucket, count(*) AS toks FROM tb GROUP BY bucket),
+fo AS (SELECT token, min(id) AS first_id FROM tb GROUP BY token),
+nt AS (
+  SELECT (first_id - b.lo) // b.w AS bucket, count(*) AS newt
+  FROM fo CROSS JOIN b GROUP BY 1
+),
+per AS (
+  SELECT p.bucket, p.toks, coalesce(n.newt, 0) AS newt
+  FROM pbt p LEFT JOIN nt n USING (bucket)
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(b.lo + (bucket + 1) * b.w - 1 AS BIGINT) AS id_hi,
+       CAST(sum(toks) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+       CAST(sum(newt) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
+FROM per CROSS JOIN b
+"""
+
+
+def _cross_source_dup(spark, sf_dir):
+    """Source-pair duplication matrix over the gate's exact-Jaccard pair
+    stream — which sources copy from which, the provenance view behind
+    per-source caps/drops. Rides the already-oracled pair semantics."""
+    from ocr_spark.operators.dedup import (
+        cross_source_dup_matrix,
+        jaccard_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_near_duplicates(
+        docs, threshold=0.1, k=3, max_doc_freq=_JACCARD_CAP
+    )
+    return cross_source_dup_matrix(pairs, docs)
+
+
+def _cross_source_dup_sql() -> str:
+    return f"""
+WITH pairs AS ({_JACCARD_SQL}),
+lab AS (
+  SELECT least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY src_a, src_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2 plus the
     training-data-pipeline operators. Keys ↔ oracle_sql keys.
@@ -3715,6 +3823,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flesch_readability": _flesch_readability,
         "lexical_diversity": _lexical_diversity,
         "split_summary": _split_summary,
+        "char_entropy": _char_entropy,
+        "heaps_growth": _heaps_growth,
+        "cross_source_dup_matrix": _cross_source_dup,
     }
 
 
@@ -3758,6 +3869,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "flesch_readability": _FLESCH_SQL,
         "lexical_diversity": _LEXDIV_SQL,
         "split_summary": _SPLIT_SUMMARY_SQL,
+        "char_entropy": _CHAR_ENTROPY_SQL,
+        "heaps_growth": _HEAPS_SQL,
+        "cross_source_dup_matrix": _cross_source_dup_sql(),
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

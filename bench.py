@@ -78,6 +78,9 @@ HEADLINE = [
     "flesch_readability",
     "lexical_diversity",
     "split_summary",
+    "char_entropy",
+    "heaps_growth",
+    "cross_source_dup_matrix",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

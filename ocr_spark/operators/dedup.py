@@ -1343,3 +1343,46 @@ def dedup_corpus(
         .select(F.col("id").alias(id_col))
     )
     return docs.join(dropped, id_col, "left_anti")
+
+
+def cross_source_dup_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-pair duplication matrix over a near-duplicate pair stream
+    (any of this module's pair producers): label each pair's endpoints
+    with their document source and count pairs per unordered source
+    pair — the provenance view of corpus duplication that tells a
+    curation run WHICH feeds copy from which (mirror detection, syndicated
+    boilerplate, cross-source scrape overlap) before it decides per-source
+    caps or drops. Returns ``(src_a, src_b, n_pairs)`` with
+    ``src_a <= src_b`` (least/greatest canonical order, so the matrix is
+    upper-triangular and engine-deterministic); the diagonal counts
+    within-source duplication.
+
+    Scale shape (100 TB): the pair stream is orders of magnitude smaller
+    than the corpus (bounded by the banding/cap machinery upstream); the
+    labeling is two equi-joins of that stream against the narrow
+    (id, source) projection, followed by ONE map-combined aggregate to
+    ≤ |sources|² rows. No new corpus pass — provenance rides whatever
+    pair stream the dedup run already produced.
+    """
+    la = docs.select(
+        F.col(id_col).alias("_ida"), F.col(source_col).alias("_sa")
+    )
+    lb = docs.select(
+        F.col(id_col).alias("_idb"), F.col(source_col).alias("_sb")
+    )
+    labeled = pairs.join(la, pairs["id_a"] == la["_ida"], "inner").join(
+        lb, pairs["id_b"] == lb["_idb"], "inner"
+    )
+    return (
+        labeled.select(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

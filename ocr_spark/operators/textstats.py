@@ -833,3 +833,132 @@ def lexical_diversity(
         ).alias("hapax_ratio"),
         F.round(slope, 4).alias("zipf_slope"),
     )
+
+
+def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon character entropy per document (nats) — the classic
+    binary-junk / base64-blob / single-char-spam detector (natural text
+    sits near 3–4.2 nats; near-zero or near-uniform values flag
+    non-text): H = −Σ_c p_c·ln p_c over the document's character
+    distribution. Adds ``n_chars``, ``n_charset`` (distinct characters)
+    and ``char_entropy`` rounded to 4 dp — the fold iterates the SORTED
+    distinct-character list, a fixed total order in both engines, so the
+    only cross-engine slack is ln's ulp (the repo's 4-dp ln contract).
+    Empty or NULL text yields (0, 0, 0.0).
+
+    Scale shape (100 TB): ONE narrow projection — the distribution is
+    never materialized; each distinct character's count is a
+    higher-order filter over the char array (O(charset · chars) per row,
+    charset alphabet-bounded), zero shuffles, zero UDFs.
+    """
+    nonempty = F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    chars = F.split(F.col(text_col), "", -1)
+    staged = df.select(
+        "*",
+        F.when(nonempty, chars).alias("_ce"),
+    )
+    n = F.size("_ce")
+    alphabet = F.array_sort(F.array_distinct(F.col("_ce")))
+    p_of = lambda c: (
+        F.size(F.filter("_ce", lambda x: x == c)).cast("double")
+        / n.cast("double")
+    )
+    # 0.0 − sum, not −sum: a single-character document folds to −0.0
+    # under unary negation, which the harness float canon distinguishes
+    # from 0.0 (the oracle mirrors this exact form)
+    h = F.lit(0.0) - F.aggregate(
+        alphabet,
+        F.lit(0.0),
+        lambda acc, c: acc + p_of(c) * F.log(p_of(c)),
+    )
+    return staged.select(
+        "*",
+        F.coalesce(n, F.lit(0)).cast("int").alias("n_chars"),
+        F.coalesce(F.size(alphabet), F.lit(0)).cast("int").alias(
+            "n_charset"
+        ),
+        F.coalesce(F.round(h, 4), F.lit(0.0)).alias("char_entropy"),
+    ).drop("_ce")
+
+
+def heaps_growth(
+    df: DataFrame,
+    n_points: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary-growth curve (Heaps 1978): cumulative distinct
+    types vs cumulative tokens as documents accrue in id order, sampled
+    at ``n_points`` equal-width id-range checkpoints — the diagnostic
+    that separates a naturally growing corpus (V ≈ K·Nᵝ, β ≈ 0.5) from
+    template spam (vocabulary saturates) or id-ordered concatenation
+    bugs (vocabulary jumps). Returns
+    ``(bucket, id_hi, cum_tokens, cum_types)``, one row per non-empty
+    checkpoint; a type counts at its FIRST occurrence (smallest id).
+
+    Exactness: bucket width = ceil((max−min+1)/n_points) in exact
+    integer arithmetic; all outputs are integer aggregates — no floats.
+
+    Scale shape (100 TB): first occurrence per type is ONE map-combined
+    ``min(id)`` aggregate over the token stream (vocabulary-sized
+    output); per-bucket token totals are a second small aggregate; the
+    cumulative window runs over AT MOST ``n_points`` pre-aggregated rows
+    — the single-partition ordered window is bounded by the checkpoint
+    count, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    if n_points < 1:
+        raise ValueError(f"n_points must be >= 1, got {n_points}")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    )
+    bounds = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    )
+    width = (
+        F.col("hi") - F.col("lo") + F.lit(n_points)
+    ) / F.lit(n_points)  # ceil((hi-lo+1)/n_points) = floor((hi-lo+n)/n)
+    bounds = bounds.select(
+        "lo", F.floor(width).cast("long").alias("w")
+    )
+    # token totals per bucket
+    tok_b = (
+        toks.join(F.broadcast(bounds))
+        .select(
+            F.floor((F.col("id") - F.col("lo")) / F.col("w")).alias("bucket"),
+            "token",
+            "id",
+        )
+    )
+    per_bucket_tokens = tok_b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("toks")
+    )
+    first_occ = tok_b.groupBy("token").agg(F.min("id").alias("first_id"))
+    new_types = (
+        first_occ.join(F.broadcast(bounds))
+        .select(
+            F.floor(
+                (F.col("first_id") - F.col("lo")) / F.col("w")
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("newt"))
+    )
+    per = per_bucket_tokens.join(new_types, "bucket", "left").select(
+        "bucket",
+        "toks",
+        F.coalesce("newt", F.lit(0)).alias("newt"),
+    )
+    w_cum = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.join(F.broadcast(bounds)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("lo") + (F.col("bucket") + 1) * F.col("w") - 1)
+        .cast("long")
+        .alias("id_hi"),
+        F.sum("toks").over(w_cum).cast("long").alias("cum_tokens"),
+        F.sum("newt").over(w_cum).cast("long").alias("cum_types"),
+    )

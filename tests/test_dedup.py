@@ -866,3 +866,44 @@ def test_cap_per_source_rank_and_ties(spark):
     assert got_ids == [1, 2, 5]  # rank_col=None -> smallest ids
     with _pytest.raises(ValueError, match="n_per_source"):
         cap_per_source(df, 0)
+
+
+# --- cross-source duplication matrix ----------------------------------------
+
+
+def test_cross_source_dup_matrix(spark):
+    from ocr_spark.operators.dedup import cross_source_dup_matrix
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.8), (2, 3, 0.7), (4, 5, 0.95)],
+        "id_a long, id_b long, jaccard double",
+    )
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "books"), (3, "web"), (4, "code"), (5, "books")],
+        "doc_id long, source string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r["n_pairs"]
+        for r in cross_source_dup_matrix(pairs, docs).collect()
+    }
+    # canonical least/greatest ordering; diagonal = within-source dup
+    assert got == {
+        ("books", "web"): 2,   # (1,2) and (2,3)
+        ("web", "web"): 1,     # (1,3)
+        ("books", "code"): 1,  # (4,5)
+    }
+
+
+def test_cross_source_dup_matrix_order_invariant(spark):
+    """Swapping a pair's endpoints never changes the matrix (the
+    least/greatest canonicalization)."""
+    from ocr_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    fwd = spark.createDataFrame([(1, 2, 0.9)], "id_a long, id_b long, jaccard double")
+    rev = spark.createDataFrame([(2, 1, 0.9)], "id_a long, id_b long, jaccard double")
+    a = cross_source_dup_matrix(fwd, docs).collect()
+    b = cross_source_dup_matrix(rev, docs).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] == [("a", "b", 1)]

@@ -689,3 +689,129 @@ def test_lexical_diversity_matches_python_reference(spark):
     assert rows["c"][4] == 0.0
     # natural-ish text has a negative Zipf slope
     assert rows["a"][4] < 0
+
+
+# --- char entropy -----------------------------------------------------------
+
+
+def _entropy_ref(t):
+    import math
+    from collections import Counter
+
+    if not t:
+        return (0, 0, 0.0)
+    cnt = Counter(t)
+    n = len(t)
+    # match the engine fold: iterate sorted distinct chars
+    h = 0.0
+    for ch in sorted(cnt):
+        p = cnt[ch] / n
+        h += p * math.log(p)
+    h = 0.0 - h
+    return (n, len(cnt), round(h, 4))
+
+
+def test_char_entropy_matches_python_reference(spark):
+    from ocr_spark.operators.textstats import with_char_entropy
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "aaaaaaaaaa"),          # single char -> exactly 0.0, not -0.0
+        (2, "abab"),                # uniform 2 chars -> ln 2
+        (3, ""),
+        (4, None),
+        (5, "a1!éé mixed"),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: (r["n_chars"], r["n_charset"], r["char_entropy"])
+        for r in with_char_entropy(sdf).collect()
+    }
+    import math
+
+    for i, t in docs:
+        ref = _entropy_ref(t)
+        assert rows[i][:2] == ref[:2], i
+        assert abs(rows[i][2] - ref[2]) <= 1e-4, i
+    assert repr(rows[1][2]) == "0.0"  # the -0.0 guard
+    assert abs(rows[2][2] - round(math.log(2), 4)) <= 1e-4
+
+
+def test_char_entropy_plan_is_narrow(spark):
+    from ocr_spark.operators.textstats import with_char_entropy
+
+    sdf = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    plan = (
+        with_char_entropy(sdf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+# --- Heaps growth curve -----------------------------------------------------
+
+
+def _heaps_ref(docs, n_points):
+    import re as _re
+
+    ids = [i for i, _ in docs]
+    lo, hi = min(ids), max(ids)
+    w = (hi - lo + n_points) // n_points
+    toks = {
+        i: _re.findall("[a-z]{3,}", (t or "").lower()) for i, t in docs
+    }
+    first = {}
+    for i in sorted(ids):
+        for tk in toks[i]:
+            first.setdefault(tk, i)
+    per = {}
+    for i in ids:
+        b = (i - lo) // w
+        per.setdefault(b, [0, 0])
+        per[b][0] += len(toks[i])
+    for tk, i in first.items():
+        per[(i - lo) // w][1] += 1
+    out, ct, cy = [], 0, 0
+    for b in sorted(per):
+        if per[b][0] == 0:
+            continue
+        ct += per[b][0]
+        cy += per[b][1]
+        out.append((b, lo + (b + 1) * w - 1, ct, cy))
+    return out
+
+
+def test_heaps_growth_matches_python_reference(spark):
+    from ocr_spark.operators.textstats import heaps_growth
+
+    docs = [
+        (i, f"alpha beta common{'x' * (i % 3)} word{i} filler text here")
+        for i in range(40)
+    ] + [(40, ""), (41, None)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    for pts in (1, 5, 50):
+        got = [
+            (r["bucket"], r["id_hi"], r["cum_tokens"], r["cum_types"])
+            for r in heaps_growth(sdf, n_points=pts)
+            .orderBy("bucket")
+            .collect()
+        ]
+        assert got == _heaps_ref(docs, pts), pts
+    # the curve ends at the corpus distinct-type total
+    import re as _re
+
+    got = heaps_growth(sdf, n_points=5).orderBy("bucket").collect()
+    all_types = {
+        tk
+        for _, t in docs
+        for tk in _re.findall("[a-z]{3,}", (t or "").lower())
+    }
+    assert got[-1]["cum_types"] == len(all_types)
+
+
+def test_heaps_growth_validation(spark):
+    from ocr_spark.operators.textstats import heaps_growth
+
+    sdf = spark.createDataFrame([(1, "abc def")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_points"):
+        heaps_growth(sdf, n_points=0)

@@ -37,6 +37,7 @@ DOC_QUERIES = [
     "pmi_collocations", "paragraph_dedup", "chunk_documents",
     "source_kl_divergence", "c4_filters", "mojibake_repair",
     "flesch_readability", "lexical_diversity", "split_summary",
+    "char_entropy", "heaps_growth", "cross_source_dup_matrix",
     # extras (need --extended)
     "minhash_signatures", "simhash", "dedup_corpus", "fingerprints",
     "token_counts", "winnow_fingerprints", "doc_tf_embeddings", "doc_quality",
