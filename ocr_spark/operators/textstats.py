@@ -901,7 +901,8 @@ def heaps_growth(
 
     Scale shape (100 TB): first occurrence per type is ONE map-combined
     ``min(id)`` aggregate over the token stream (vocabulary-sized
-    output); per-bucket token totals are a second small aggregate; the
+    output) — the only corpus explode; per-bucket token totals come from
+    NARROW per-document counts (no second token-stream pass); the
     cumulative window runs over AT MOST ``n_points`` pre-aggregated rows
     — the single-partition ordered window is bounded by the checkpoint
     count, never the corpus.
@@ -910,9 +911,6 @@ def heaps_growth(
 
     if n_points < 1:
         raise ValueError(f"n_points must be >= 1, got {n_points}")
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
-    )
     bounds = df.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     )
@@ -922,19 +920,26 @@ def heaps_growth(
     bounds = bounds.select(
         "lo", F.floor(width).cast("long").alias("w")
     )
-    # token totals per bucket
-    tok_b = (
-        toks.join(F.broadcast(bounds))
+    # per-bucket token totals from NARROW per-doc counts (the explode
+    # below feeds only the first-occurrence aggregate); a bucket whose
+    # documents carry zero tokens is dropped — same rows as the oracle's
+    # token-stream grouping
+    per_bucket_tokens = (
+        df.join(F.broadcast(bounds))
         .select(
-            F.floor((F.col("id") - F.col("lo")) / F.col("w")).alias("bucket"),
-            "token",
-            "id",
+            F.floor(
+                (F.col(id_col) - F.col("lo")) / F.col("w")
+            ).alias("bucket"),
+            F.coalesce(F.size(tokens(text_col)), F.lit(0)).alias("_nt"),
         )
+        .groupBy("bucket")
+        .agg(F.sum("_nt").alias("toks"))
+        .filter(F.col("toks") > 0)
     )
-    per_bucket_tokens = tok_b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("toks")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
     )
-    first_occ = tok_b.groupBy("token").agg(F.min("id").alias("first_id"))
+    first_occ = toks.groupBy("token").agg(F.min("id").alias("first_id"))
     new_types = (
         first_occ.join(F.broadcast(bounds))
         .select(
