@@ -3545,6 +3545,143 @@ FROM lab GROUP BY src_a, src_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Behavioral event analytics (SURVEY §2.8 X40-X42): funnel, cohort
+# retention, per-user anomaly z-scores — the one-shuffle-on-user-key OLAP
+# shapes one step past the reference's A1-A9 history queries.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _event_funnel(spark, sf_dir):
+    """Strictly-ordered view→click→purchase funnel via cascading
+    cumulative-window mins (ONE exchange + sort carries all steps)."""
+    from ocr_spark.operators.behavior import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, _FUNNEL_STEPS)
+
+
+def _event_funnel_sql() -> str:
+    s1, s2, s3 = _FUNNEL_STEPS
+    return f"""
+WITH w1 AS (
+  SELECT user_id, ts, event_type, event_id,
+         min(CASE WHEN event_type = '{s1}' THEN ts END) OVER cw AS t0
+  FROM events
+  WINDOW cw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = '{s2}' AND t0 < ts THEN ts END)
+              OVER cw AS t1
+  FROM w1
+  WINDOW cw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = '{s3}' AND t1 < ts THEN ts END)
+              OVER cw AS t2
+  FROM w2
+  WINDOW cw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+),
+pu AS (
+  SELECT user_id, bool_or(t0 IS NOT NULL) AS r0,
+         bool_or(t1 IS NOT NULL) AS r1, bool_or(t2 IS NOT NULL) AS r2
+  FROM w3 GROUP BY user_id
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM pu
+)
+SELECT 1 AS step_index, '{s1}' AS step, n0 AS n_users,
+       ROUND(CASE WHEN n0 > 0 THEN n0 / n0 ELSE 0.0 END, 4) AS conv_overall,
+       ROUND(CASE WHEN n0 > 0 THEN n0 / n0 ELSE 0.0 END, 4) AS conv_from_prev
+FROM c
+UNION ALL
+SELECT 2, '{s2}', n1,
+       ROUND(CASE WHEN n0 > 0 THEN n1 / n0 ELSE 0.0 END, 4),
+       ROUND(CASE WHEN n0 > 0 THEN n1 / n0 ELSE 0.0 END, 4)
+FROM c
+UNION ALL
+SELECT 3, '{s3}', n2,
+       ROUND(CASE WHEN n0 > 0 THEN n2 / n0 ELSE 0.0 END, 4),
+       ROUND(CASE WHEN n1 > 0 THEN n2 / n1 ELSE 0.0 END, 4)
+FROM c
+ORDER BY step_index
+"""
+
+
+def _cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention triangle; integer period arithmetic so both
+    engines agree exactly."""
+    from ocr_spark.operators.behavior import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, period_days=7)
+
+
+_COHORT_SQL = """
+WITH base AS (
+  SELECT user_id AS u,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS p
+  FROM events
+),
+firsts AS (SELECT u, min(p) AS cohort_p FROM base GROUP BY u),
+activity AS (SELECT DISTINCT u, p FROM base),
+joined AS (
+  SELECT a.u, f.cohort_p, CAST(a.p - f.cohort_p AS INT) AS period_offset
+  FROM activity a JOIN firsts f USING (u)
+),
+sizes AS (SELECT cohort_p, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM firsts GROUP BY cohort_p),
+grid AS (SELECT cohort_p, period_offset, CAST(count(*) AS BIGINT) AS n_active
+         FROM joined GROUP BY cohort_p, period_offset)
+SELECT DATE '1970-01-01' + CAST(g.cohort_p * 7 AS INT) AS cohort_start,
+       g.period_offset, g.n_active, s.cohort_size,
+       ROUND(g.n_active / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+FROM grid g JOIN sizes s USING (cohort_p)
+ORDER BY cohort_start, period_offset
+"""
+
+
+def _daily_anomalies(spark, sf_dir):
+    """Per-user daily-volume anomaly days, |z| > 2 with the integer-sums
+    z-score (one IEEE sqrt is the only inexact op — exact oracle)."""
+    from ocr_spark.operators.behavior import daily_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return daily_anomalies(ev, z_threshold=2.0)
+
+
+_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS date,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT *, CAST(count(*) OVER uw AS BIGINT) AS _n,
+         CAST(sum(n_events) OVER uw AS BIGINT) AS _s,
+         CAST(sum(n_events * n_events) OVER uw AS BIGINT) AS _q
+  FROM daily
+  WINDOW uw AS (PARTITION BY u)
+)
+SELECT u AS user_id, date, n_events,
+       ROUND((_n * n_events - _s)
+             / sqrt(CAST(_n * _q - _s * _s AS DOUBLE)), 4) AS z
+FROM m
+WHERE _n >= 3 AND (_n * _q - _s * _s) > 0
+  AND abs((_n * n_events - _s)
+          / sqrt(CAST(_n * _q - _s * _s AS DOUBLE))) > 2.0
+ORDER BY user_id, date
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2 plus the
     training-data-pipeline operators. Keys ↔ oracle_sql keys.
@@ -3826,6 +3963,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _char_entropy,
         "heaps_growth": _heaps_growth,
         "cross_source_dup_matrix": _cross_source_dup,
+        # round-5 session-4 behavioral analytics (X40-X42) — the
+        # one-shuffle user-key OLAP shapes past the reference's A1-A9;
+        # exact-oracle backed here via --extended
+        "event_funnel": _event_funnel,
+        "cohort_retention": _cohort_retention,
+        "daily_anomalies": _daily_anomalies,
     }
 
 
@@ -3872,6 +4015,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "char_entropy": _CHAR_ENTROPY_SQL,
         "heaps_growth": _HEAPS_SQL,
         "cross_source_dup_matrix": _cross_source_dup_sql(),
+        "event_funnel": _event_funnel_sql(),
+        "cohort_retention": _COHORT_SQL,
+        "daily_anomalies": _ANOMALY_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle
