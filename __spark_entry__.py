@@ -3682,6 +3682,66 @@ ORDER BY user_id, date
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-mix tooling (SURVEY §2.8 X43-X44): temperature resampling and
+# per-source length quantiles.
+# ---------------------------------------------------------------------------
+
+
+def _temperature_resample(spark, sf_dir):
+    """alpha=0.5 (T=2) source flattening at target_frac=0.5 — deterministic
+    hash-Bernoulli thinning; keep_prob derives from fixed-point integer
+    weights so the oracle reproduces it bit-for-bit."""
+    from ocr_spark.operators.sharding import temperature_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_resample(docs, alpha=0.5, target_frac=0.5)
+
+
+_TEMP_RESAMPLE_SQL = """
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_s,
+         CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1048576) AS BIGINT) AS w_s
+  FROM s
+),
+t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+             CAST(sum(w_s) AS BIGINT) AS w_total FROM w),
+r AS (
+  SELECT source,
+         LEAST(1.0, (0.5 * n_total * w_s) / (w_total * CAST(n_s AS DOUBLE)))
+           AS keep_prob
+  FROM w CROSS JOIN t
+)
+SELECT d.doc_id, d.source, ROUND(r.keep_prob, 6) AS keep_prob
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 4294967296
+      < CAST(floor(r.keep_prob * 4294967296.0) AS BIGINT)
+"""
+
+
+def _length_quantiles(spark, sf_dir):
+    """Exact per-source length quantiles (linear interpolation — the
+    quantile_cont definition both engines implement)."""
+    from ocr_spark.operators.textstats import length_quantiles
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return length_quantiles(docs, engine="exact")
+
+
+_LENGTH_QUANTILES_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+       ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+       ROUND(quantile_cont(n_chars, 0.75), 4) AS p75,
+       ROUND(quantile_cont(n_chars, 0.95), 4) AS p95
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2 plus the
     training-data-pipeline operators. Keys ↔ oracle_sql keys.
@@ -3969,6 +4029,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _event_funnel,
         "cohort_retention": _cohort_retention,
         "daily_anomalies": _daily_anomalies,
+        # round-5 session-4 corpus-mix tooling (X43-X44)
+        "temperature_resample": _temperature_resample,
+        "length_quantiles": _length_quantiles,
     }
 
 
@@ -4018,6 +4081,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "event_funnel": _event_funnel_sql(),
         "cohort_retention": _COHORT_SQL,
         "daily_anomalies": _ANOMALY_SQL,
+        "temperature_resample": _TEMP_RESAMPLE_SQL,
+        "length_quantiles": _LENGTH_QUANTILES_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

@@ -311,3 +311,92 @@ def split_summary(
             ).alias("frac_docs"),
         )
     )
+
+
+#: fixed-point scale for temperature weights: sqrt(n)·2^20 floored to
+#: BIGINT keeps the cross-source weight SUM exact integer arithmetic
+#: (float summation order would otherwise differ between engines)
+_TEMP_WEIGHT_SCALE = 1 << 20
+
+#: 2^32 — the md5 32-bit uniform's domain (functions/hashing.py)
+_U32_DOMAIN = float(1 << 32)
+
+
+def temperature_resample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual/multi-source
+    sampling rule (q_s ∝ n_s^alpha, alpha < 1 flattens the source
+    distribution) used to keep head domains from dominating a training
+    mix, applied as a DETERMINISTIC per-document Bernoulli thinning:
+
+        keep_prob(s) = min(1, target_frac · N · q_s / n_s)
+        keep(doc)    = md5_u32(id) < floor(keep_prob(s) · 2³²)
+
+    so membership depends only on the document id and the corpus's
+    per-source counts — reruns, engines and cluster sizes agree, and the
+    expected kept count is target_frac · N with within-source expectation
+    ∝ q_s (up to the min(1,·) cap: a source whose quota exceeds its
+    population keeps everything; the surplus is NOT redistributed — the
+    standard single-pass thinning convention, audit with the returned
+    keep_prob column).
+
+    Determinism of keep_prob itself: weights w_s = floor(n_s^alpha · 2²⁰)
+    are BIGINT, so the cross-source weight sum is exact integer math; the
+    final ratio is one fixed-shape double expression over integers.
+    alpha = 0.5 (the common temperature T=2) evaluates via IEEE sqrt —
+    correctly rounded everywhere; other alphas go through pow(), where
+    engines may legally differ by 1 ulp BEFORE the floor (a boundary
+    flip is astronomically unlikely but the 0.5 default is exact).
+
+    Returns kept documents as (id, source, keep_prob) with keep_prob
+    rounded to 6 dp.
+
+    Scale shape (100 TB): one map-combined agg to ≤ |sources| rows, a
+    1-row totals frame, one BROADCAST join back, then a narrow hash
+    filter — scan-speed, no wide shuffle of the corpus.
+    """
+    if not 0 < target_frac <= 1:
+        raise ValueError(f"target_frac must be in (0, 1]: {target_frac}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive: {alpha}")
+    from ocr_spark.functions.hashing import md5_mod
+
+    n = F.col("n_s").cast("double")
+    w_raw = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
+    per_source = (
+        df.groupBy(F.col(source_col).alias("_src"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+        .select(
+            "_src",
+            "n_s",
+            F.floor(w_raw * _TEMP_WEIGHT_SCALE).cast("long").alias("w_s"),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("n_s").cast("long").alias("n_total"),
+        F.sum("w_s").cast("long").alias("w_total"),
+    )
+    rates = per_source.join(F.broadcast(totals)).select(
+        "_src",
+        F.least(
+            F.lit(1.0),
+            (F.lit(target_frac) * F.col("n_total") * F.col("w_s"))
+            / (F.col("w_total") * F.col("n_s").cast("double")),
+        ).alias("_keep_prob"),
+    )
+    u = md5_mod(F.col(id_col).cast("string"), 1 << 32)
+    return (
+        df.select(id_col, F.col(source_col).alias("_src"))
+        .join(F.broadcast(rates), "_src")
+        .filter(u < F.floor(F.col("_keep_prob") * _U32_DOMAIN).cast("long"))
+        .select(
+            id_col,
+            F.col("_src").alias(source_col),
+            F.round("_keep_prob", 6).alias("keep_prob"),
+        )
+    )

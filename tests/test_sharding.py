@@ -323,3 +323,97 @@ def test_assign_splits_validates_bounds(spark):
         assign_splits(sdf, splits=(("train", 5000), ("val", 4000)))
     with _pytest.raises(ValueError, match="bounds"):
         assign_splits(sdf, splits=(("train", 5000), ("val", 9999)))
+
+
+# ---------------------------------------------------------------------------
+# temperature_resample
+# ---------------------------------------------------------------------------
+
+
+def _u32(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    # head source 120 docs, mid 30, tail 10
+    rows = []
+    i = 0
+    for src, n in (("head", 120), ("mid", 30), ("tail", 10)):
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    return spark.createDataFrame(rows, ["doc_id", "source"])
+
+
+def test_temperature_resample_matches_local_recompute(skewed_docs):
+    import math
+
+    from ocr_spark.operators.sharding import temperature_resample
+
+    counts = {"head": 120, "mid": 30, "tail": 10}
+    w = {s: math.floor(math.sqrt(float(n)) * (1 << 20)) for s, n in counts.items()}
+    n_total, w_total = sum(counts.values()), sum(w.values())
+    keep_prob = {
+        s: min(1.0, (0.5 * n_total * w[s]) / (w_total * float(n)))
+        for s, n in counts.items()
+    }
+    rows = temperature_resample(skewed_docs, 0.5, 0.5).collect()
+    got = {r["doc_id"]: r["keep_prob"] for r in rows}
+    i = 0
+    expected = {}
+    for src, n in (("head", 120), ("mid", 30), ("tail", 10)):
+        thresh = math.floor(keep_prob[src] * 2**32)
+        for _ in range(n):
+            if _u32(i) < thresh:
+                expected[i] = round(keep_prob[src], 6)
+            i += 1
+    assert got == expected
+    # flattening: the tail source keeps a HIGHER fraction than the head
+    assert keep_prob["tail"] > keep_prob["head"]
+
+
+def test_temperature_resample_alpha_one_is_uniform_thinning(skewed_docs):
+    from ocr_spark.operators.sharding import temperature_resample
+
+    # alpha=1 -> q_s = p_s -> keep_prob = target_frac everywhere
+    rows = temperature_resample(skewed_docs, alpha=1.0, target_frac=0.25).collect()
+    assert {r["keep_prob"] for r in rows} == {0.25}
+
+
+def test_temperature_resample_cap_keeps_whole_tail(spark):
+    from ocr_spark.operators.sharding import temperature_resample
+
+    # extreme skew at alpha=0.5: the 4-doc tail's quota exceeds its
+    # population -> capped at 1.0, every tail doc kept
+    rows = [(i, "head") for i in range(996)] + [
+        (996 + j, "tail") for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_resample(df, 0.5, 0.5)
+    tail = out.filter(F.col("source") == "tail").collect()
+    assert len(tail) == 4 and all(r["keep_prob"] == 1.0 for r in tail)
+
+
+def test_temperature_resample_partitioning_invariant(skewed_docs):
+    from ocr_spark.operators.sharding import temperature_resample
+
+    a = sorted(map(tuple, temperature_resample(skewed_docs, 0.5, 0.5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            temperature_resample(skewed_docs.repartition(13), 0.5, 0.5).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_temperature_resample_validation(skewed_docs):
+    from ocr_spark.operators.sharding import temperature_resample
+
+    with pytest.raises(ValueError):
+        temperature_resample(skewed_docs, target_frac=0.0)
+    with pytest.raises(ValueError):
+        temperature_resample(skewed_docs, target_frac=1.5)
+    with pytest.raises(ValueError):
+        temperature_resample(skewed_docs, alpha=-0.5)

@@ -815,3 +815,52 @@ def test_heaps_growth_validation(spark):
     sdf = spark.createDataFrame([(1, "abc def")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_points"):
         heaps_growth(sdf, n_points=0)
+
+
+# ---------------------------------------------------------------------------
+# length_quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_length_quantiles_exact_matches_numpy(spark):
+    import numpy as np
+
+    from ocr_spark.operators.textstats import length_quantiles
+
+    vals = {"a": [3, 1, 4, 1, 5, 9, 2, 6], "b": [10, 20, 30]}
+    rows = [
+        (f"{s}{i}", s, v) for s, vs in vals.items() for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = {r["source"]: r for r in length_quantiles(df).collect()}
+    for s, vs in vals.items():
+        assert out[s]["n_docs"] == len(vs)
+        for p in (25, 50, 75, 95):
+            exp = round(
+                float(np.percentile(vs, p, method="linear")), 4
+            )
+            assert out[s][f"p{p}"] == exp, (s, p)
+
+
+def test_length_quantiles_approx_within_rank_error(spark):
+    from ocr_spark.operators.textstats import length_quantiles
+
+    rows = [(i, "s", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    exact = length_quantiles(df, engine="exact").collect()[0]
+    approx = length_quantiles(df, engine="approx", accuracy=1000).collect()[0]
+    # GK rank error <= n/accuracy = 2 ranks; values are the ranks here
+    for p in (25, 50, 75, 95):
+        assert abs(approx[f"p{p}"] - exact[f"p{p}"]) <= 3.0, p
+
+
+def test_length_quantiles_validation(spark):
+    from ocr_spark.operators.textstats import length_quantiles
+
+    df = spark.createDataFrame([(1, "s", 2)], ["doc_id", "source", "n_chars"])
+    with pytest.raises(ValueError):
+        length_quantiles(df, engine="bogus")
+    with pytest.raises(ValueError):
+        length_quantiles(df, probs=(1.5,))
+    with pytest.raises(ValueError):
+        length_quantiles(df, probs=())
