@@ -81,6 +81,11 @@ HEADLINE = [
     "char_entropy",
     "heaps_growth",
     "cross_source_dup_matrix",
+    "event_funnel",
+    "cohort_retention",
+    "daily_anomalies",
+    "temperature_resample",
+    "length_quantiles",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

@@ -38,6 +38,7 @@ DOC_QUERIES = [
     "source_kl_divergence", "c4_filters", "mojibake_repair",
     "flesch_readability", "lexical_diversity", "split_summary",
     "char_entropy", "heaps_growth", "cross_source_dup_matrix",
+    "temperature_resample", "length_quantiles",
     # extras (need --extended)
     "minhash_signatures", "simhash", "dedup_corpus", "fingerprints",
     "token_counts", "winnow_fingerprints", "doc_tf_embeddings", "doc_quality",
