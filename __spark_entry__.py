@@ -3723,6 +3723,88 @@ WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def _incremental_near_dup(spark, sf_dir):
+    """Daily-crawl ingestion dedup: the batch (doc_id % 10 == 9, ~10% of
+    the corpus at any tier) exact-Jaccard-matched against the remaining
+    corpus — batch × corpus only, never corpus × corpus."""
+    from ocr_spark.operators.dedup import incremental_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 9)
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    return incremental_near_duplicates(
+        new, corpus, threshold=0.1, k=3, max_doc_freq=_JACCARD_CAP
+    )
+
+
+_INCREMENTAL_SQL = f"""
+WITH sized AS ({_SHINGLES_SQL}),
+ex0 AS (SELECT doc_id,
+               ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+        FROM sized),
+exn0 AS (SELECT doc_id AS id_new, s FROM ex0 WHERE doc_id % 10 = 9),
+exc0 AS (SELECT doc_id AS id_corpus, s FROM ex0 WHERE doc_id % 10 <> 9),
+hot AS (SELECT s FROM exc0 GROUP BY s HAVING count(*) > {_JACCARD_CAP}),
+exn AS (SELECT * FROM exn0 WHERE s NOT IN (SELECT s FROM hot)),
+exc AS (SELECT * FROM exc0 WHERE s NOT IN (SELECT s FROM hot)),
+sn AS (SELECT id_new, CAST(count(*) AS BIGINT) AS n FROM exn GROUP BY id_new),
+sc AS (SELECT id_corpus, CAST(count(*) AS BIGINT) AS n
+       FROM exc GROUP BY id_corpus)
+SELECT a.id_new, b.id_corpus,
+       ROUND(CAST(count(*) AS DOUBLE) / (sn.n + sc.n - count(*)), 6) AS jaccard
+FROM exn a JOIN exc b ON a.s = b.s
+JOIN sn ON sn.id_new = a.id_new
+JOIN sc ON sc.id_corpus = b.id_corpus
+GROUP BY a.id_new, b.id_corpus, sn.n, sc.n
+HAVING ROUND(CAST(count(*) AS DOUBLE) / (sn.n + sc.n - count(*)), 6) >= 0.1
+"""
+
+
+def _leakage_safe_split(spark, sf_dir):
+    """Near-dup-cluster-keyed train/val/test split: every member of a
+    jaccard cluster shares the split of its canonical cluster id."""
+    from ocr_spark.operators.dedup import jaccard_near_duplicates
+    from ocr_spark.operators.sharding import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_near_duplicates(
+        docs, threshold=0.1, k=3, max_doc_freq=_JACCARD_CAP
+    )
+    return leakage_safe_split(pairs, docs)
+
+
+_LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id AS label FROM verts
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+resolved AS (
+  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+b AS (
+  SELECT doc_id, cluster,
+         ('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 8))::BIGINT
+           % 10000 AS bucket
+  FROM resolved
+)
+SELECT doc_id, cluster,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            WHEN bucket < 10000 THEN 'test' END AS split
+FROM b
+"""
+
+
 def _length_quantiles(spark, sf_dir):
     """Exact per-source length quantiles (linear interpolation — the
     quantile_cont definition both engines implement)."""
@@ -4032,6 +4114,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 session-4 corpus-mix tooling (X43-X44)
         "temperature_resample": _temperature_resample,
         "length_quantiles": _length_quantiles,
+        # round-5 session-4 ingestion/leakage tooling (X45-X46)
+        "incremental_near_dup": _incremental_near_dup,
+        "leakage_safe_split": _leakage_safe_split,
     }
 
 
@@ -4083,6 +4168,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "daily_anomalies": _ANOMALY_SQL,
         "temperature_resample": _TEMP_RESAMPLE_SQL,
         "length_quantiles": _LENGTH_QUANTILES_SQL,
+        "incremental_near_dup": _INCREMENTAL_SQL,
+        "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

@@ -86,6 +86,8 @@ HEADLINE = [
     "daily_anomalies",
     "temperature_resample",
     "length_quantiles",
+    "incremental_near_dup",
+    "leakage_safe_split",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

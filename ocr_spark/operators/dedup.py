@@ -1386,3 +1386,81 @@ def cross_source_dup_matrix(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def incremental_near_duplicates(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Incremental ingestion dedup: exact shingle-Jaccard pairs ONLY
+    between a NEW batch and an EXISTING corpus — the daily-crawl shape,
+    where re-deduplicating the whole lake per batch
+    (O((corpus+batch)²-ish work) is the scale-killer and the right job is
+    batch × corpus. Returns (id_new, id_corpus, jaccard ≥ threshold);
+    within-batch pairs are NOT emitted (run
+    :func:`jaccard_near_duplicates` on the batch for those), and a
+    document present in both inputs pairs with itself at jaccard 1.0 —
+    caller semantics, not filtered here.
+
+    Construction: both sides explode to (id, shingle-id) over the shared
+    60-bit md5 shingle key; ONE equi-join new⋈corpus on the fixed-width
+    long key (never a self-join) → pair-count aggregate → set sizes →
+    Jaccard. At 100 TB corpus / small daily batch, Catalyst+AQE
+    broadcasts the batch's exploded shingles and the "join" runs at
+    corpus scan speed with NO corpus shuffle; when the batch is too big
+    to broadcast it degrades to one shuffle on the shingle key.
+
+    ``max_doc_freq`` caps hot shingles by their CORPUS document frequency
+    (the batch never defines hotness — batch-local boilerplate must not
+    mask true matches): hot shingles leave the universe on BOTH sides and
+    per-doc set sizes are recomputed over the filtered universe, so the
+    score stays a true set Jaccard (same stop-shingle semantics as
+    :func:`jaccard_near_duplicates`).
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+
+    def _exploded(df: DataFrame, out: str) -> DataFrame:
+        sized = df.select(
+            F.col(id_col).alias(out), tokens(text_col).alias("_t")
+        ).select(out, shingle_ids_from_tokens(F.col("_t"), k).alias("_sh"))
+        return explode_nonnull(sized, "_sh", "shingle", out)
+
+    ex_new = _exploded(new_docs, "id_new")
+    ex_cor = _exploded(corpus, "id_corpus")
+    if max_doc_freq is not None:
+        hot = (
+            ex_cor.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        ex_new = ex_new.join(hot, "shingle", "left_anti")
+        ex_cor = ex_cor.join(hot, "shingle", "left_anti")
+    sizes_new = ex_new.groupBy("id_new").agg(
+        F.count(F.lit(1)).cast("long").alias("_na")
+    )
+    sizes_cor = ex_cor.groupBy("id_corpus").agg(
+        F.count(F.lit(1)).cast("long").alias("_nb")
+    )
+    inter = (
+        ex_new.join(ex_cor, "shingle")
+        .groupBy("id_new", "id_corpus")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common")
+        / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+        6,
+    )
+    return (
+        inter.join(sizes_new, "id_new")
+        .join(sizes_cor, "id_corpus")
+        .select("id_new", "id_corpus", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -251,6 +251,13 @@ def assign_splits(
     strictly increasing and end at exactly ``SPLIT_DOMAIN`` so the
     assignment is total.
     """
+    bucket_src = F.col(id_col).cast("string")
+    return df.select("*", _split_expr(bucket_src, splits).alias("split"))
+
+
+def _split_expr(str_col: Column, splits: tuple[tuple[str, int], ...]) -> Column:
+    """The shared bucket→split when-chain (validates bounds at plan-build
+    time); ``str_col`` is the already-stringified hash input."""
     from ocr_spark.functions.hashing import md5_mod
 
     bounds = [b for _, b in splits]
@@ -259,7 +266,7 @@ def assign_splits(
             f"split bounds must be strictly increasing and end at "
             f"{SPLIT_DOMAIN}, got {bounds}"
         )
-    bucket = md5_mod(F.col(id_col).cast("string"), SPLIT_DOMAIN)
+    bucket = md5_mod(str_col, SPLIT_DOMAIN)
     expr = None
     for name, ub in splits:
         cond = bucket < ub
@@ -268,7 +275,42 @@ def assign_splits(
             if expr is None
             else expr.when(cond, F.lit(name))
         )
-    return df.select("*", expr.alias("split"))
+    return expr
+
+
+def leakage_safe_split(
+    pairs: DataFrame,
+    docs: DataFrame,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: hash the CLUSTER id, not
+    the document id, so every member of a near-duplicate cluster lands in
+    the SAME split — the group-split rule that prevents test-set leakage
+    through paraphrases/boilerplate twins that plain per-document hashing
+    (:func:`assign_splits`) happily straddles across train and test.
+
+    ``pairs`` is any near-dup pair stream (exact-Jaccard, MinHash-LSH,
+    SimHash, …); documents in no pair are their own singleton cluster and
+    degrade to exactly :func:`assign_splits` placement. Returns
+    (id, cluster, split); same basis-point bounds contract.
+
+    Scale shape: cluster resolution touches only pair vertices
+    (operators/dedup.py resolve_clusters — pointer-jumping CC, tiny vs
+    the corpus); the corpus-wide pass is one broadcast-able left join plus
+    a narrow hash projection.
+    """
+    from ocr_spark.operators.dedup import resolve_clusters
+
+    resolved = resolve_clusters(
+        pairs, docs, id_col=id_col, checkpoint_dir=checkpoint_dir
+    )
+    return resolved.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        _split_expr(F.col("cluster").cast("string"), splits).alias("split"),
+    )
 
 
 def split_summary(

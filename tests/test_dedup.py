@@ -907,3 +907,76 @@ def test_cross_source_dup_matrix_order_invariant(spark):
     a = cross_source_dup_matrix(fwd, docs).collect()
     b = cross_source_dup_matrix(rev, docs).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b] == [("a", "b", 1)]
+
+
+# ---------------------------------------------------------------------------
+# incremental_near_duplicates (batch x corpus ingestion dedup)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_set(text: str, k: int = 3) -> set:
+    import re as _re
+
+    t = _re.findall(r"[a-z]{3,}", text.lower())
+    if len(t) >= k:
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+    return {" ".join(t)}
+
+
+def test_incremental_matches_bruteforce(spark):
+    from ocr_spark.operators.dedup import incremental_near_duplicates
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely unrelated corpus text about spark windows merge"),
+        (3, "another document with some shared quick brown fox content"),
+    ]
+    new_rows = [
+        (101, "the quick brown fox jumps over the lazy dog today"),  # = doc 1
+        (102, "brand new text nothing in common whatsoever here"),
+        (103, "document with some shared quick brown fox content inside"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    got = {
+        (r["id_new"], r["id_corpus"]): r["jaccard"]
+        for r in incremental_near_duplicates(
+            new, corpus, threshold=0.2
+        ).collect()
+    }
+    expected = {}
+    for nid, ntxt in new_rows:
+        sn = _shingle_set(ntxt)
+        for cid, ctxt in corpus_rows:
+            sc = _shingle_set(ctxt)
+            j = len(sn & sc) / len(sn | sc)
+            if round(j, 6) >= 0.2:
+                expected[(nid, cid)] = round(j, 6)
+    assert got == expected
+    assert (101, 1) in got and got[(101, 1)] == 1.0
+    # within-batch twins are NOT emitted (101/103 vs each other)
+    assert all(k[0] > 100 and k[1] < 100 for k in got)
+
+
+def test_incremental_corpus_hot_cap(spark):
+    from ocr_spark.operators.dedup import incremental_near_duplicates
+
+    # one boilerplate sentence in EVERY corpus doc; cap = 2 removes its
+    # shingles from the universe, so the batch doc only matches via the
+    # non-boilerplate remainder
+    boiler = "subscribe now for the best daily newsletter content"
+    corpus_rows = [
+        (i, f"{boiler} unique corpus text number variant {chr(97 + i)}yyy")
+        for i in range(4)
+    ]
+    new_rows = [(100, f"{boiler} totally fresh payload words")]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    uncapped = incremental_near_duplicates(new, corpus, threshold=0.01)
+    capped = incremental_near_duplicates(
+        new, corpus, threshold=0.01, max_doc_freq=2
+    )
+    assert uncapped.count() == 4  # boilerplate links the batch to all
+    assert capped.count() == 0  # cap removes the only shared shingles
+    with pytest.raises(ValueError):
+        incremental_near_duplicates(new, corpus, threshold=0.0)

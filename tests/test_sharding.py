@@ -417,3 +417,48 @@ def test_temperature_resample_validation(skewed_docs):
         temperature_resample(skewed_docs, target_frac=1.5)
     with pytest.raises(ValueError):
         temperature_resample(skewed_docs, alpha=-0.5)
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_groups_clusters(spark):
+    from ocr_spark.operators.sharding import (
+        SPLIT_DOMAIN,
+        DEFAULT_SPLITS,
+        assign_splits,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    # clusters: {0,1,2} (chained pairs), {7,15}; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (7, 15)], ["id_a", "id_b"]
+    )
+    rows = leakage_safe_split(pairs, docs).collect()
+    assert len(rows) == 20
+    by_id = {r["doc_id"]: r for r in rows}
+    # cluster canonical = min member id
+    assert {by_id[i]["cluster"] for i in (0, 1, 2)} == {0}
+    assert {by_id[i]["cluster"] for i in (7, 15)} == {7}
+    # every cluster member shares one split, derived from the CLUSTER id
+    def split_of(cluster_id):
+        b = int(hashlib.md5(str(cluster_id).encode()).hexdigest()[:8], 16) % SPLIT_DOMAIN
+        for name, ub in DEFAULT_SPLITS:
+            if b < ub:
+                return name
+
+    for i in range(20):
+        assert by_id[i]["split"] == split_of(by_id[i]["cluster"]), i
+    # singletons degrade to exactly assign_splits placement
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(docs.select("doc_id")).collect()
+    }
+    for i in range(20):
+        if i not in (0, 1, 2, 7, 15):
+            assert by_id[i]["split"] == plain[i]
