@@ -3805,6 +3805,90 @@ FROM b
 """
 
 
+def _ivf_recall(spark, sf_dir):
+    """Recall@5 of IVF nprobe=2 probing vs the exact kNN answer, per
+    query — the index-tuning eval harness, over the knn_join gate's
+    query/corpus split and the shipped centroids."""
+    from ocr_spark.operators.similarity import ivf_recall, load_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_recall(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5),
+        load_ivf_centroids(),
+        k=5,
+        nprobe=2,
+    )
+
+
+def _ivf_recall_sql(k: int = 5, nprobe: int = 2) -> str:
+    from ocr_spark.operators.similarity import load_ivf_centroids
+
+    cents = load_ivf_centroids()
+
+    def scores(vexpr: str) -> str:
+        return "[" + ", ".join(
+            "list_inner_product({v}, [{c}])".format(
+                v=vexpr, c=", ".join(repr(x) for x in cent)
+            )
+            for cent in cents
+        ) + "]"
+
+    cos = (
+        "ROUND(CASE WHEN sqrt(list_inner_product({v}, {v}))"
+        " * sqrt(list_inner_product({q}, {q})) = 0 THEN 0.0"
+        " ELSE list_inner_product({v}, {q})"
+        " / (sqrt(list_inner_product({v}, {v}))"
+        " * sqrt(list_inner_product({q}, {q}))) END, 6)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL),
+c AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id >= 5 AND embedding IS NOT NULL),
+exact AS (
+  SELECT query_id, id FROM (
+    SELECT q.query_id, c.id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos.format(v='v', q='qv')} DESC, c.id ASC) AS rn
+    FROM c CROSS JOIN q) WHERE rn <= {k}
+),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, CAST(i - 1 AS INTEGER) AS cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, i ASC) AS rn
+    FROM (SELECT query_id, unnest({scores('qv')}) AS s,
+                 generate_subscripts({scores('qv')}, 1) AS i
+          FROM q)) WHERE rn <= {nprobe}
+),
+assigned AS (
+  SELECT id, v,
+         CAST(list_indexof(sc, list_aggregate(sc, 'max')) - 1 AS INTEGER)
+           AS cell
+  FROM (SELECT id, v, {scores('v')} AS sc FROM c)
+),
+approx AS (
+  SELECT query_id, id FROM (
+    SELECT p.query_id, a.id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY {cos.format(v='a.v', q='q.qv')} DESC, a.id ASC) AS rn
+    FROM assigned a JOIN probe p USING (cell)
+    JOIN q ON q.query_id = p.query_id
+  ) WHERE rn <= {k}
+),
+hits AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM exact e JOIN approx a ON a.query_id = e.query_id AND a.id = e.id
+  GROUP BY e.query_id
+)
+SELECT q.query_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(COALESCE(h.n_hit, 0) / {float(k)!r}, 4) AS recall_at_k
+FROM q LEFT JOIN hits h USING (query_id) ORDER BY query_id
+"""
+
+
 def _length_quantiles(spark, sf_dir):
     """Exact per-source length quantiles (linear interpolation — the
     quantile_cont definition both engines implement)."""
@@ -4117,6 +4201,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 session-4 ingestion/leakage tooling (X45-X46)
         "incremental_near_dup": _incremental_near_dup,
         "leakage_safe_split": _leakage_safe_split,
+        # round-5 session-4 ANN eval harness (X47)
+        "ivf_recall": _ivf_recall,
     }
 
 
@@ -4170,6 +4256,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "length_quantiles": _LENGTH_QUANTILES_SQL,
         "incremental_near_dup": _INCREMENTAL_SQL,
         "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
+        "ivf_recall": _ivf_recall_sql(),
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

@@ -88,6 +88,7 @@ HEADLINE = [
     "length_quantiles",
     "incremental_near_dup",
     "leakage_safe_split",
+    "ivf_recall",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

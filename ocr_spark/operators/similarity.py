@@ -1419,3 +1419,109 @@ def kmeans_fit_distributed(
         return [[float(x) for x in row] for row in c]
     finally:
         _free_checkpoint(base)
+
+
+def ivf_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN quality evaluation: per-query recall@k of IVF probing against
+    the exact answer — the harness that tells you whether an
+    (n_cells, nprobe) configuration is GOOD ENOUGH before you commit the
+    corpus to an index layout. Returns (query_id, n_hit, recall_at_k)
+    with recall = |exact_topk ∩ ivf_topk| / k, 4 dp.
+
+    Exact side: :func:`knn_join` (the scan-bound partial-top-k path).
+    Approx side: the corpus is cell-assigned once (:func:`ivf_assign`),
+    each query's nprobe probe cells computed driver-side on the tiny
+    centroid table (:func:`ivf_probe_cells`, same arithmetic the SQL
+    oracle inlines), and candidates = corpus ⋈ broadcast(query, cell)
+    pairs — only probed cells are ever scored, mirroring what a real IVF
+    query executes, then an exact per-query rerank window.
+
+    Like :func:`knn_join` this is an EAGER, eval-time operator: the query
+    side (an eval set — tens to thousands of rows by design) is collected
+    to the driver for probe computation and broadcast back. The rerank
+    window sees |Q| × (probed fraction of corpus) rows — fine for an
+    offline eval sweep, not a serving path. Scores share the exact side's
+    6-dp pre-rounding and (score desc, id asc) tie-break, so recall
+    differences are genuinely about probe coverage, never ordering noise.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(
+            f"nprobe must be in [1, {len(centroids)}]: {nprobe}"
+        )
+    from pyspark.sql import Window
+
+    exact = knn_join(
+        corpus, queries, k, id_col, vec_col, query_id_col, query_vec_col
+    )
+    qrows = (
+        queries.filter(F.col(query_vec_col).isNotNull())
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(query_vec_col).alias("qv"),
+        )
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("queries side is empty (or all-NULL vectors)")
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(
+        [
+            (r["query_id"], int(c))
+            for r in qrows
+            for c in ivf_probe_cells(list(r["qv"]), centroids, nprobe)
+        ],
+        ["query_id", "cell"],
+    )
+    qdf = spark.createDataFrame(
+        [(r["query_id"], [float(x) for x in r["qv"]]) for r in qrows],
+        ["query_id", "qv"],
+    )
+    assigned = ivf_assign(
+        corpus.filter(F.col(vec_col).isNotNull()), centroids, vec_col
+    )
+    v = _as_double(vec_col)
+    den = norm(v) * norm(F.col("qv"))
+    score = F.round(
+        F.when(den == 0, F.lit(0.0)).otherwise(dot(v, F.col("qv")) / den), 6
+    )
+    cand = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", F.col(id_col).alias("id"), score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    approx = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id")
+    )
+    hits = (
+        exact.select("query_id", "id")
+        .join(approx, ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        qdf.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -689,3 +689,68 @@ def test_semantic_dedup_rejects_bad_args(vectors, sem_centroids):
         semantic_dedup_pairs(
             assign_with_centroid_cos(df, sem_centroids), strategy="posting"
         )
+
+
+# ---------------------------------------------------------------------------
+# ivf_recall (ANN eval harness)
+# ---------------------------------------------------------------------------
+
+
+def _unit(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pytest.fixture(scope="module")
+def recall_setup(spark):
+    rng = random.Random(23)
+    rows = [(i, [float(x) for x in _vec(rng)]) for i in range(300)]
+    corpus = spark.createDataFrame(
+        rows[20:], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        rows[:8], "vec_id long, embedding array<double>"
+    )
+    cents = [_unit(_vec(random.Random(100 + i))) for i in range(6)]
+    return corpus, queries, cents
+
+
+def test_ivf_recall_full_probe_is_exact(recall_setup):
+    from ocr_spark.operators.similarity import ivf_recall
+
+    corpus, queries, cents = recall_setup
+    rows = ivf_recall(corpus, queries, cents, k=5, nprobe=len(cents)).collect()
+    assert len(rows) == 8
+    assert all(r["n_hit"] == 5 and r["recall_at_k"] == 1.0 for r in rows)
+
+
+def test_ivf_recall_monotone_in_nprobe(recall_setup):
+    from ocr_spark.operators.similarity import ivf_recall
+
+    corpus, queries, cents = recall_setup
+    per_probe = []
+    for np_ in (1, 3, 6):
+        got = {
+            r["query_id"]: r["n_hit"]
+            for r in ivf_recall(corpus, queries, cents, k=5, nprobe=np_).collect()
+        }
+        per_probe.append(got)
+    # probe sets are nested (top-1 ⊂ top-3 ⊂ top-6) so per-query hits
+    # can only grow with nprobe
+    for qid in per_probe[0]:
+        assert per_probe[0][qid] <= per_probe[1][qid] <= per_probe[2][qid]
+    assert all(h <= 5 for g in per_probe for h in g.values())
+
+
+def test_ivf_recall_validation(recall_setup):
+    from ocr_spark.operators.similarity import ivf_recall
+
+    corpus, queries, cents = recall_setup
+    with pytest.raises(ValueError):
+        ivf_recall(corpus, queries, cents, k=0)
+    with pytest.raises(ValueError):
+        ivf_recall(corpus, queries, cents, nprobe=0)
+    with pytest.raises(ValueError):
+        ivf_recall(corpus, queries, cents, nprobe=len(cents) + 1)
+    with pytest.raises(ValueError):
+        ivf_recall(corpus, queries.filter("vec_id < 0"), cents)

@@ -49,7 +49,7 @@ DOC_QUERIES = [
 ]
 SIM_QUERIES = [
     "ann_cosine_topk", "ann_lsh_topk", "ivf_topk", "knn_join",
-    "semantic_dedup",
+    "semantic_dedup", "ivf_recall",
     # extras
     "ann_cosine_topk_np", "ann_lsh_topk_mp", "kmeans_cells",
 ]
