@@ -3889,6 +3889,37 @@ FROM q LEFT JOIN hits h USING (query_id) ORDER BY query_id
 """
 
 
+def _collapse_repeats(spark, sf_dir):
+    """Within-doc consecutive-repeat collapse at the word level (the
+    toy-tier docs carry no newlines — same delimiter convention as the
+    line_strip gate): stuttered tokens collapse to their first
+    occurrence, order preserved, zero shuffles."""
+    from ocr_spark.operators.curation import collapse_repeats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return collapse_repeats(docs, delimiter=" ")
+
+
+_COLLAPSE_REPEATS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, ' ') END AS parts
+  FROM documents
+),
+k AS (
+  SELECT doc_id, parts,
+         list_filter(parts, (x, i) -> i = 1 OR x <> parts[i - 1]) AS kept
+  FROM p
+)
+SELECT doc_id,
+       array_to_string(kept, ' ') AS clean_text,
+       CAST(len(parts) AS INT) AS n_parts,
+       CAST(len(parts) - len(kept) AS INT) AS n_collapsed
+FROM k
+"""
+
+
 def _length_quantiles(spark, sf_dir):
     """Exact per-source length quantiles (linear interpolation — the
     quantile_cont definition both engines implement)."""
@@ -4203,6 +4234,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _leakage_safe_split,
         # round-5 session-4 ANN eval harness (X47)
         "ivf_recall": _ivf_recall,
+        # round-5 session-4 within-doc repeat collapse (X48)
+        "collapse_repeats": _collapse_repeats,
     }
 
 
@@ -4257,6 +4290,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "incremental_near_dup": _INCREMENTAL_SQL,
         "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
         "ivf_recall": _ivf_recall_sql(),
+        "collapse_repeats": _COLLAPSE_REPEATS_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

@@ -89,6 +89,7 @@ HEADLINE = [
     "incremental_near_dup",
     "leakage_safe_split",
     "ivf_recall",
+    "collapse_repeats",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

@@ -944,3 +944,60 @@ def mojibake_repair(
         .cast("long")
         .alias("n_entities"),
     )
+
+
+def collapse_repeats(
+    docs: DataFrame,
+    delimiter: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document consecutive-repeat collapse: split each document on
+    ``delimiter`` and keep only the FIRST segment of every run of equal
+    consecutive segments — the crawl-artifact cleanup for progressive-
+    render duplicates, stuttered paginated boilerplate and blank-line
+    runs (with the default newline delimiter) or token stutter (with a
+    space delimiter). The within-doc, order-preserving complement to the
+    corpus-level :func:`line_strip` / :func:`paragraph_dedup`: only
+    ADJACENT equality collapses — two equal lines separated by other
+    content both survive (that case is cross-position repetition, which
+    gopher_repetition measures and ExactSubstr stripping removes).
+
+    Returns ``(id_col, clean_text, n_parts, n_collapsed)``; NULL text
+    yields ``('', 0, 0)`` (same contract as line_strip). Pure string
+    ops — split keeps trailing empty segments (limit −1, mirroring
+    DuckDB ``string_split``), reassembly joins with the same delimiter,
+    the delimiter is a literal (escaped before ``F.split``).
+
+    Scale shape (100 TB): ONE narrow projection — the keep-decision is a
+    higher-order filter comparing each segment to its predecessor by
+    index, zero shuffles, zero UDFs, whole-stage codegen; cost is
+    O(segments) per row.
+    """
+    import re as _re
+
+    if delimiter == "":
+        raise ValueError("delimiter must be non-empty")
+    parts = F.split(F.col(text_col), _re.escape(delimiter), -1)
+    staged = docs.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.array().cast("array<string>"))
+        .otherwise(parts)
+        .alias("_parts"),
+    )
+    ps = F.col("_parts")
+    # keep segment i (0-based) iff first, or different from segment i-1;
+    # the when() keeps the 1-based element_at off the i==0 branch (same
+    # lazy-branch pattern as exact_substring_spans' span derivation)
+    kept = F.filter(
+        ps,
+        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+            x != F.element_at(ps, i)
+        ),
+    )
+    return staged.select(
+        id_col,
+        F.array_join(kept, delimiter).alias("clean_text"),
+        F.size(ps).cast("int").alias("n_parts"),
+        (F.size(ps) - F.size(kept)).cast("int").alias("n_collapsed"),
+    )

@@ -174,3 +174,52 @@ def test_plan_shape(spark):
         .toString()
     )
     assert "LeftAnti" in plan2
+
+
+# ---------------------------------------------------------------------------
+# collapse_repeats (within-doc consecutive-repeat collapse)
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_repeats_basic(spark):
+    from ocr_spark.operators.curation import collapse_repeats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b a"),
+            (2, "x\n\n\ny\ny\nx"),
+            (3, None),
+            (4, ""),
+            (5, "no repeats here"),
+        ],
+        ["doc_id", "text"],
+    )
+    words = {
+        r["doc_id"]: r
+        for r in collapse_repeats(docs, delimiter=" ").collect()
+    }
+    assert words[1]["clean_text"] == "a b a"
+    assert (words[1]["n_parts"], words[1]["n_collapsed"]) == (6, 3)
+    assert words[3]["clean_text"] == "" and words[3]["n_parts"] == 0
+    assert words[4]["clean_text"] == "" and words[4]["n_parts"] == 1
+    assert words[5]["n_collapsed"] == 0
+
+    lines = {
+        r["doc_id"]: r for r in collapse_repeats(docs).collect()
+    }
+    # "x,'','',y,y,x" -> blank-line run squeezes, adjacent y's collapse,
+    # the non-adjacent x's both survive
+    assert lines[2]["clean_text"] == "x\n\ny\nx"
+    assert (lines[2]["n_parts"], lines[2]["n_collapsed"]) == (6, 2)
+
+
+def test_collapse_repeats_narrow_plan_and_validation(spark):
+    from ocr_spark.operators.curation import collapse_repeats
+
+    docs = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+    plan = (
+        collapse_repeats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+    with pytest.raises(ValueError):
+        collapse_repeats(docs, delimiter="")
