@@ -3628,7 +3628,8 @@ def _cohort_retention(spark, sf_dir):
 _COHORT_SQL = """
 WITH base AS (
   SELECT user_id AS u,
-         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS p
+         CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    / 7.0) AS BIGINT) AS p
   FROM events
 ),
 firsts AS (SELECT u, min(p) AS cohort_p FROM base GROUP BY u),

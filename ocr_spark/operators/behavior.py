@@ -165,7 +165,10 @@ def cohort_retention(
         raise ValueError(f"period_days must be positive: {period_days}")
     base = df.repartition(F.col(user_col)).select(
         F.col(user_col).alias("u"),
-        (
+        # floor, not cast-truncation: pre-epoch days are negative, and
+        # truncate-toward-zero would merge days -6..6 into one fat period
+        # (DuckDB's // also truncates, so the oracle uses explicit floor)
+        F.floor(
             F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
             / period_days
         )

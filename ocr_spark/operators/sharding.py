@@ -396,7 +396,8 @@ def temperature_resample(
     flip is astronomically unlikely but the 0.5 default is exact).
 
     Returns kept documents as (id, source, keep_prob) with keep_prob
-    rounded to 6 dp.
+    rounded to 6 dp. NULL-source documents are excluded from totals,
+    rates and output alike — an unlabeled stratum cannot carry a quota.
 
     Scale shape (100 TB): one map-combined agg to ≤ |sources| rows, a
     1-row totals frame, one BROADCAST join back, then a narrow hash
@@ -408,6 +409,11 @@ def temperature_resample(
         raise ValueError(f"alpha must be positive: {alpha}")
     from ocr_spark.functions.hashing import md5_mod
 
+    # NULL-source docs are excluded EVERYWHERE (totals, rates, output):
+    # groupBy would keep a NULL stratum in n_total/w_total while the
+    # equi-join back silently drops its docs, deflating every real
+    # source's realized fraction against an unsampleable population
+    df = df.filter(F.col(source_col).isNotNull())
     n = F.col("n_s").cast("double")
     w_raw = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
     per_source = (

@@ -1438,21 +1438,27 @@ def ivf_recall(
     corpus to an index layout. Returns (query_id, n_hit, recall_at_k)
     with recall = |exact_topk ∩ ivf_topk| / k, 4 dp.
 
-    Exact side: :func:`knn_join` (the scan-bound partial-top-k path).
-    Approx side: the corpus is cell-assigned once (:func:`ivf_assign`),
-    each query's nprobe probe cells computed driver-side on the tiny
-    centroid table (:func:`ivf_probe_cells`, same arithmetic the SQL
-    oracle inlines), and candidates = corpus ⋈ broadcast(query, cell)
-    pairs — only probed cells are ever scored, mirroring what a real IVF
-    query executes, then an exact per-query rerank window.
+    Both sides rank over ONE shared scored frame: the corpus is
+    cell-assigned once (:func:`ivf_assign`), scored against the broadcast
+    query set with a single 6-dp-rounded cosine expression, and the exact
+    side is the unrestricted per-query top-k window while the approx side
+    first restricts to each query's nprobe probe cells (driver-side
+    :func:`ivf_probe_cells`, same arithmetic the SQL oracle inlines) —
+    only probe coverage distinguishes them, BY CONSTRUCTION: identical
+    scoring expression, identical rounding mode, identical
+    (score desc, id asc) tie-break, so a recall delta can never be
+    rounding/ordering noise. (This is why the exact side is NOT
+    :func:`knn_join`: its numpy partial-top-k rounds half-to-even over a
+    pre-normalized matmul, which on an exact .5·10⁻⁶ boundary could
+    disagree with the JVM fold by one rank — fine for retrieval, fatal
+    for a recall denominator.)
 
     Like :func:`knn_join` this is an EAGER, eval-time operator: the query
     side (an eval set — tens to thousands of rows by design) is collected
-    to the driver for probe computation and broadcast back. The rerank
-    window sees |Q| × (probed fraction of corpus) rows — fine for an
-    offline eval sweep, not a serving path. Scores share the exact side's
-    6-dp pre-rounding and (score desc, id asc) tie-break, so recall
-    differences are genuinely about probe coverage, never ordering noise.
+    ONCE for probe computation and broadcast back. The exact side pushes
+    |corpus| × |Q| scored rows through the rank window — an offline
+    eval-sweep shape, not a serving path (serve with :func:`knn_join` /
+    :func:`ivf_topk`, which never materialize the cross product).
     """
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
@@ -1462,9 +1468,6 @@ def ivf_recall(
         )
     from pyspark.sql import Window
 
-    exact = knn_join(
-        corpus, queries, k, id_col, vec_col, query_id_col, query_vec_col
-    )
     qrows = (
         queries.filter(F.col(query_vec_col).isNotNull())
         .select(
@@ -1496,20 +1499,26 @@ def ivf_recall(
     score = F.round(
         F.when(den == 0, F.lit(0.0)).otherwise(dot(v, F.col("qv")) / den), 6
     )
-    cand = (
-        assigned.join(F.broadcast(probe_df), "cell")
-        .join(F.broadcast(qdf), "query_id")
-        .select("query_id", F.col(id_col).alias("id"), score.alias("score"))
+    scored = assigned.crossJoin(F.broadcast(qdf)).select(
+        "query_id",
+        F.col(id_col).alias("id"),
+        "cell",
+        score.alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id")
+    )
     approx = (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.join(F.broadcast(probe_df), ["query_id", "cell"])
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "id")
     )
     hits = (
-        exact.select("query_id", "id")
-        .join(approx, ["query_id", "id"])
+        exact.join(approx, ["query_id", "id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
     )

@@ -1001,6 +1001,13 @@ def length_quantiles(
     if not probs or any(not 0 <= p <= 1 for p in probs):
         raise ValueError(f"probs must be in [0, 1]: {probs}")
     plist = list(probs)
+    names = [f"p{round(p * 100)}" for p in plist]
+    if len(set(names)) != len(names):
+        # 0.25 and 0.254 would both land on 'p25' — an ambiguous-column
+        # trap downstream; fail at plan-build time instead
+        raise ValueError(
+            f"probs collide after column-name rounding: {probs} -> {names}"
+        )
     if engine == "exact":
         q = F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in plist]))
     else:
@@ -1013,9 +1020,7 @@ def length_quantiles(
         F.count(F.lit(1)).cast("long").alias("n_docs"), q.alias("_q")
     )
     cols = [F.col("grp").alias(group_col), "n_docs"] + [
-        F.round(F.col("_q")[i].cast("double"), 4).alias(
-            f"p{round(p * 100)}"
-        )
-        for i, p in enumerate(plist)
+        F.round(F.col("_q")[i].cast("double"), 4).alias(name)
+        for i, name in enumerate(names)
     ]
     return agg.select(*cols).orderBy(group_col)

@@ -170,3 +170,21 @@ def test_anomalies_single_shuffle_plan(spark):
     df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
     plan = daily_anomalies(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cohort_pre_epoch_uses_floor_not_truncation(spark):
+    # day -2 (1969-12-30) must land in period -1 (1969-12-25..31), NOT be
+    # truncated into period 0 alongside day 2 (1970-01-03)
+    rows = [
+        (1, dt.datetime(1969, 12, 30), 1, "view"),
+        (2, dt.datetime(1970, 1, 3), 1, "view"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {
+        (r["cohort_start"], r["period_offset"]): r["n_active"]
+        for r in cohort_retention(df, period_days=7).collect()
+    }
+    assert got == {
+        (dt.date(1969, 12, 25), 0): 1,
+        (dt.date(1969, 12, 25), 1): 1,
+    }

@@ -462,3 +462,19 @@ def test_leakage_safe_split_groups_clusters(spark):
     for i in range(20):
         if i not in (0, 1, 2, 7, 15):
             assert by_id[i]["split"] == plain[i]
+
+
+def test_temperature_resample_excludes_null_source(spark):
+    from ocr_spark.operators.sharding import temperature_resample
+
+    labeled = [(i, "a") for i in range(100)]
+    unlabeled = [(100 + i, None) for i in range(100)]
+    df = spark.createDataFrame(
+        labeled + unlabeled, "doc_id long, source string"
+    )
+    rows = temperature_resample(df, alpha=1.0, target_frac=0.5).collect()
+    # NULL stratum is excluded from totals AND output: the single real
+    # source keeps exactly target_frac (alpha=1 -> uniform thinning), not
+    # target_frac scaled against an unsampleable population
+    assert all(r["source"] == "a" for r in rows)
+    assert {r["keep_prob"] for r in rows} == {0.5}

@@ -864,3 +864,11 @@ def test_length_quantiles_validation(spark):
         length_quantiles(df, probs=(1.5,))
     with pytest.raises(ValueError):
         length_quantiles(df, probs=())
+
+
+def test_length_quantiles_name_collision_rejected(spark):
+    from ocr_spark.operators.textstats import length_quantiles
+
+    df = spark.createDataFrame([(1, "s", 2)], ["doc_id", "source", "n_chars"])
+    with pytest.raises(ValueError):
+        length_quantiles(df, probs=(0.25, 0.254))
