@@ -3940,6 +3940,104 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+# --- round-5 session-5 families: dialogue-structure audit (X49),
+# --- n-gram contamination coverage (X50), CMS heavy hitters (X51) ---------
+
+
+def _transcript_view(spark, sf_dir):
+    """Deterministic transcript-shaped view over events — the north rule's
+    exact input contract (conv_id, turn_idx, role, text, tool, ts),
+    synthesized with pure modular arithmetic on event_id so the DuckDB
+    oracle rebuilds the identical table (no randomness, no floats). The
+    role mix deliberately contains structural violations (repeats, orphan
+    tool turns, conversations opening mid-dialogue) so every audit counter
+    is exercised at every SF."""
+    ev = _t(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("event_id") % 11 < 4, F.lit("user"))
+        .when(F.col("event_id") % 11 < 8, F.lit("assistant"))
+        .when(F.col("event_id") % 11 < 10, F.lit("tool"))
+        .otherwise(F.lit("system"))
+    )
+    return ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        role.alias("role"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("")).otherwise(
+            F.col("event_type")
+        ).alias("text"),
+        F.when(
+            (role == "assistant") & (F.col("event_id") % 3 == 0),
+            F.concat(F.lit("tool_"), (F.col("event_id") % 5).cast("string")),
+        ).alias("tool"),
+        "ts",
+    )
+
+
+#: the transcript synthesis above, verbatim in DuckDB — shared CTE body
+_TRANSCRIPT_CTE = """
+  SELECT user_id AS conv_id, event_id AS turn_idx,
+         CASE WHEN event_id % 11 < 4 THEN 'user'
+              WHEN event_id % 11 < 8 THEN 'assistant'
+              WHEN event_id % 11 < 10 THEN 'tool'
+              ELSE 'system' END AS role,
+         CASE WHEN event_id % 13 = 0 THEN '' ELSE event_type END AS text,
+         CASE WHEN event_id % 11 >= 4 AND event_id % 11 < 8
+                   AND event_id % 3 = 0
+              THEN 'tool_' || CAST(event_id % 5 AS VARCHAR) END AS tool,
+         ts
+  FROM events
+"""
+
+
+def _dialogue_audit(spark, sf_dir):
+    """Per-conversation dialogue-structure audit (X49) over the synthetic
+    transcript view: one window + one reuse-partitioned agg, exact integer
+    counters, boolean verdict."""
+    from ocr_spark.operators.dialogue import dialogue_audit
+
+    return dialogue_audit(_transcript_view(spark, sf_dir))
+
+
+_DIALOGUE_AUDIT_SQL = f"""
+WITH t AS ({_TRANSCRIPT_CTE}),
+x AS (
+  SELECT conv_id, turn_idx, role, text, tool,
+         lag(role) OVER w AS prev_role,
+         lag(tool) OVER w AS prev_tool
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool,
+       CAST(sum(CASE WHEN role = 'assistant' AND tool IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+       CAST(sum(CASE WHEN prev_role IS NOT NULL AND prev_role = role
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+       CAST(sum(CASE WHEN role = 'tool' AND NOT (
+                       prev_role IS NOT NULL AND prev_role = 'assistant'
+                       AND prev_tool IS NOT NULL)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_tool,
+       CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty,
+       min_by(role, turn_idx) = 'user' AS starts_with_user,
+       (min_by(role, turn_idx) = 'user'
+        AND sum(CASE WHEN prev_role IS NOT NULL AND prev_role = role
+                     THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN role = 'tool' AND NOT (
+                       prev_role IS NOT NULL AND prev_role = 'assistant'
+                       AND prev_tool IS NOT NULL)
+                     THEN 1 ELSE 0 END) = 0) AS valid
+FROM x GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2 plus the
     training-data-pipeline operators. Keys ↔ oracle_sql keys.
@@ -4237,6 +4335,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": _ivf_recall,
         # round-5 session-4 within-doc repeat collapse (X48)
         "collapse_repeats": _collapse_repeats,
+        # round-5 session-5 dialogue-structure audit (X49) — the audit
+        # gate over the north rule's exact transcript input shape
+        "dialogue_audit": _dialogue_audit,
     }
 
 
@@ -4292,6 +4393,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
         "ivf_recall": _ivf_recall_sql(),
         "collapse_repeats": _COLLAPSE_REPEATS_SQL,
+        "dialogue_audit": _DIALOGUE_AUDIT_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

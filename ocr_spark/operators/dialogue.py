@@ -1,0 +1,129 @@
+"""Dialogue-structure audit over multi-turn transcripts.
+
+Beyond-reference surface (SURVEY.md §2.8 X49): the engine's input contract
+is an Iceberg/Parquet table of multi-turn agent transcripts
+``(conv_id, turn_idx, role, text, tool, ts)``. Before any extraction or
+training-mix decision, a production pipeline validates the STRUCTURE of
+those conversations — the transcript analog of the reference's
+upload-validation gate (main.py:83-101 rejects malformed inputs before OCR
+ever runs). The standard audit questions are fixed by the chat-ML shape
+every public conversation format shares (role-tagged ordered turns):
+
+- does the conversation open with a user turn?
+- do two consecutive turns ever carry the same role (a dropped turn or a
+  concatenation bug upstream)?
+- does every ``tool`` turn follow an assistant turn that actually issued a
+  tool call (orphan tool results indicate truncation/reordering)?
+- how many turns are empty after whitespace normalization?
+
+``dialogue_audit`` answers all of them in one pass and emits one row per
+conversation plus a ``valid`` verdict, so the keep/drop decision is a plain
+filter downstream.
+
+Determinism: every output is an exact integer count or a boolean derived
+from integer comparisons — no floats anywhere — so the DuckDB oracle
+hash-matches with no tolerance.
+
+Scale profile at 10^12 turns:
+- ONE hash exchange on ``conv_id`` carries the whole audit: the lag()
+  window sorts within each conversation, and the subsequent
+  groupBy(conv_id) reuses the window's hash partitioning (subset-key
+  clustering — same trick as behavior.py's daily_anomalies), so Catalyst
+  plans a single Exchange.
+- Per-turn state is O(1): lag(role), lag(tool) — no collect_list, no
+  per-conversation buffering, so a 10^5-turn agent-loop conversation
+  costs memory proportional to one row, not one conversation.
+- The output is one row per conversation (~10^7 rows at 10^12 turns with
+  10^5-turn convs) — small enough to join back against any downstream
+  keep-list broadcast.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dialogue_audit(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+    tool_role: str = "tool",
+) -> DataFrame:
+    """Per-conversation structural audit of a role-tagged transcript table.
+
+    Returns one row per conversation::
+
+        (conv_id, n_turns, n_user, n_assistant, n_tool,
+         n_tool_calls, n_role_repeats, n_orphan_tool, n_empty,
+         starts_with_user, valid)
+
+    - ``n_tool_calls``: assistant turns with a non-null ``tool`` (the turn
+      ISSUED a call);
+    - ``n_role_repeats``: adjacent turn pairs with the same role;
+    - ``n_orphan_tool``: ``tool``-role turns whose predecessor is not an
+      assistant turn that issued a call (or that have no predecessor);
+    - ``n_empty``: turns whose text is NULL or whitespace-only;
+    - ``valid``: starts with a user turn AND no role repeats AND no orphan
+      tool results. Empty turns are reported but do not invalidate — they
+      are an extraction concern, not a structural one.
+
+    Ordering is the contract's stable (conv_id, turn_idx); ties on
+    turn_idx are impossible by the table's grain.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    role = F.col(role_col)
+    prev_role = F.lag(role_col).over(w)
+    prev_tool = F.lag(tool_col).over(w)
+    is_blank = F.col(text_col).isNull() | (
+        F.trim(F.col(text_col)) == F.lit("")
+    )
+    turns = df.select(
+        F.col(conv_col).alias("conv_id"),
+        role.alias("_role"),
+        # first turn by index, resolved inside the agg (no extra window)
+        F.col(idx_col).alias("_idx"),
+        (role == user_role).cast("long").alias("_is_user"),
+        (role == assistant_role).cast("long").alias("_is_assistant"),
+        (role == tool_role).cast("long").alias("_is_tool"),
+        ((role == assistant_role) & F.col(tool_col).isNotNull())
+        .cast("long")
+        .alias("_is_call"),
+        (prev_role.isNotNull() & (prev_role == role))
+        .cast("long")
+        .alias("_repeat"),
+        (
+            (role == tool_role)
+            & ~(
+                prev_role.isNotNull()
+                & (prev_role == assistant_role)
+                & prev_tool.isNotNull()
+            )
+        )
+        .cast("long")
+        .alias("_orphan"),
+        is_blank.cast("long").alias("_empty"),
+    )
+    out = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("_is_user").alias("n_user"),
+        F.sum("_is_assistant").alias("n_assistant"),
+        F.sum("_is_tool").alias("n_tool"),
+        F.sum("_is_call").alias("n_tool_calls"),
+        F.sum("_repeat").alias("n_role_repeats"),
+        F.sum("_orphan").alias("n_orphan_tool"),
+        F.sum("_empty").alias("n_empty"),
+        (F.min(F.struct("_idx", "_role"))["_role"] == user_role).alias(
+            "starts_with_user"
+        ),
+    )
+    return out.withColumn(
+        "valid",
+        F.col("starts_with_user")
+        & (F.col("n_role_repeats") == 0)
+        & (F.col("n_orphan_tool") == 0),
+    )

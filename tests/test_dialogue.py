@@ -1,0 +1,108 @@
+"""Dialogue-structure audit tests (SURVEY §2.8 X49).
+
+Hand-computable micro-fixtures pin every counter and the validity verdict;
+a partitioning-invariance test pins the repo's determinism rule; a plan
+test pins the one-Exchange shape (the window's hash partitioning AND sort
+order are reused by the per-conversation aggregate). The sf0.01 gate
+(check_oracles --extended: ``dialogue_audit``) pins the exact DuckDB hash
+on real data.
+"""
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from ocr_spark.operators.dialogue import dialogue_audit
+
+T0 = dt.datetime(2024, 1, 1)
+
+COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _turn(conv, idx, role, text="hello", tool=None):
+    return (conv, idx, role, text, tool, T0 + dt.timedelta(seconds=idx))
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    rows = [
+        # c1: perfectly valid — user / assistant(call) / tool / assistant
+        _turn("c1", 0, "user"),
+        _turn("c1", 1, "assistant", tool="search"),
+        _turn("c1", 2, "tool"),
+        _turn("c1", 3, "assistant"),
+        # c2: starts with assistant; two consecutive user turns; one
+        # whitespace-only and one NULL text
+        _turn("c2", 0, "assistant"),
+        _turn("c2", 1, "user", text="   "),
+        _turn("c2", 2, "user", text=None),
+        # c3: orphan tool turns — opens with one (no predecessor), and a
+        # second follows an assistant turn that issued NO call
+        _turn("c3", 0, "tool"),
+        _turn("c3", 1, "assistant"),
+        _turn("c3", 2, "tool"),
+    ]
+    return spark.createDataFrame(rows, COLS)
+
+
+def test_audit_counts_and_verdict(transcripts):
+    out = {r["conv_id"]: r for r in dialogue_audit(transcripts).collect()}
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["n_user"], c1["n_assistant"], c1["n_tool"]) == (
+        4,
+        1,
+        2,
+        1,
+    )
+    assert c1["n_tool_calls"] == 1
+    assert c1["n_role_repeats"] == 0
+    assert c1["n_orphan_tool"] == 0
+    assert c1["n_empty"] == 0
+    assert c1["starts_with_user"] and c1["valid"]
+
+    c2 = out["c2"]
+    assert c2["n_role_repeats"] == 1  # user,user
+    assert c2["n_empty"] == 2  # "   " and NULL
+    assert not c2["starts_with_user"] and not c2["valid"]
+
+    c3 = out["c3"]
+    # both tool turns are orphans: first has no predecessor, second
+    # follows an assistant turn whose tool is NULL
+    assert c3["n_orphan_tool"] == 2
+    assert c3["n_tool_calls"] == 0
+    assert not c3["valid"]
+
+
+def test_empty_turns_do_not_invalidate(spark):
+    rows = [
+        _turn("c", 0, "user", text=""),
+        _turn("c", 1, "assistant"),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    out = dialogue_audit(spark.createDataFrame(rows, schema)).collect()[0]
+    assert out["n_empty"] == 1
+    assert out["valid"]  # structure is fine; emptiness is reported only
+
+
+def test_partitioning_invariance(transcripts):
+    a = sorted(map(tuple, dialogue_audit(transcripts).collect()))
+    b = sorted(
+        map(tuple, dialogue_audit(transcripts.repartition(7)).collect())
+    )
+    assert a == b
+
+
+def test_one_exchange_plan(transcripts):
+    plan = (
+        dialogue_audit(transcripts)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the groupBy must reuse the window's hash partitioning: exactly one
+    # shuffle in the whole audit
+    assert plan.count("Exchange hashpartitioning") == 1
