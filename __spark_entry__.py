@@ -4038,6 +4038,56 @@ FROM x GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def _ngram_coverage(spark, sf_dir):
+    """Graded contamination overlap (X50): per eval doc (the decontaminate
+    convention's doc_id < 20 benchmark slice), the fraction of its distinct
+    word 5-grams present anywhere in the training corpus (doc_id >= 20) —
+    the GPT-3/PaLM per-example overlap statistic. Corpus grams never
+    shuffle: broadcast semi-join against the eval gram set, then a distinct
+    bounded by |eval grams|."""
+    from ocr_spark.operators.dedup import ngram_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < 20)
+    tr = docs.filter(F.col("doc_id") >= 20)
+    return ngram_coverage(tr, ev, k=5)
+
+
+_NGRAM_COVERAGE_SQL = f"""
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS t
+            FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(t) - 4),
+                     i -> array_to_string(t[i:i+4], ' ')))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM tk
+),
+ev AS (SELECT DISTINCT doc_id,
+              ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS g
+       FROM sh WHERE doc_id < 20),
+tr AS (SELECT DISTINCT
+              ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS g
+       FROM sh WHERE doc_id >= 20),
+agg AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched
+  FROM ev e LEFT JOIN tr t USING (g) GROUP BY e.doc_id
+)
+SELECT d.doc_id AS id, COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_matched, 0) AS n_matched,
+       ROUND(CASE WHEN COALESCE(a.n_grams, 0) > 0
+                  THEN a.n_matched / CAST(a.n_grams AS DOUBLE)
+                  ELSE 0.0 END, 4) AS coverage
+FROM (SELECT doc_id FROM documents WHERE doc_id < 20) d
+LEFT JOIN agg a USING (doc_id)
+ORDER BY id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2 plus the
     training-data-pipeline operators. Keys ↔ oracle_sql keys.
@@ -4338,6 +4388,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 session-5 dialogue-structure audit (X49) — the audit
         # gate over the north rule's exact transcript input shape
         "dialogue_audit": _dialogue_audit,
+        # round-5 session-5 graded contamination overlap (X50)
+        "ngram_coverage": _ngram_coverage,
     }
 
 
@@ -4394,6 +4446,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ivf_recall": _ivf_recall_sql(),
         "collapse_repeats": _COLLAPSE_REPEATS_SQL,
         "dialogue_audit": _DIALOGUE_AUDIT_SQL,
+        "ngram_coverage": _NGRAM_COVERAGE_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

@@ -1010,6 +1010,89 @@ def bloom_decontaminate(
     ).filter(F.col("n_overlap") <= max_overlap)
 
 
+def ngram_coverage(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Graded contamination overlap (SURVEY §2.8 X50): for every EVAL
+    document, the fraction of its distinct word k-grams that occur
+    anywhere in the training corpus — the per-example overlap statistic
+    published with GPT-3 (Brown et al. 2020, appendix C) and PaLM
+    (Chowdhery et al. 2022 §8), one step past :func:`decontaminate`'s
+    binary any-overlap drop: it grades HOW contaminated each eval example
+    is so a threshold (or a "dirty vs clean" eval split) can be chosen
+    after the fact.
+
+    Returns one row per eval document::
+
+        (id, n_grams, n_matched, coverage)   # coverage = matched/total, 4dp
+
+    Eval docs with no text/tokens report (0, 0, 0.0).
+
+    Shape — sized for a 100 TB training side and a tiny eval side:
+
+    - The eval side's distinct (id, gram) pairs are small (evals are
+      thousands of docs) and its distinct gram SET smaller still; that set
+      is BROADCAST.
+    - The training side is one narrow explode of the shared 60-bit shingle
+      keys (:func:`shingle_ids_from_tokens` — same arithmetic as the
+      Jaccard/decontaminate family) followed by a broadcast LEFT-SEMI join
+      (map-side, no shuffle of corpus grams) and a distinct() that only
+      ever sees grams ∈ the eval set — cardinality bounded by the eval
+      gram count, so the one real shuffle moves O(|eval grams|) rows no
+      matter how big the corpus is.
+    - Matched grams then join back to the eval pairs (both tiny) and
+      aggregate per eval doc.
+    """
+    sh = shingle_ids_from_tokens(F.col("_nc_toks"), k)
+    eval_pairs = explode_nonnull(
+        eval_df.select(
+            F.col(id_col).alias("id"), tokens(text_col).alias("_nc_toks")
+        ),
+        sh,
+        "gram",
+        "id",
+    ).distinct()
+    eval_grams = eval_pairs.select("gram").distinct()
+    corpus_hits = (
+        explode_nonnull(df.select(tokens(text_col).alias("_nc_toks")), sh, "gram")
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .distinct()
+    )
+    per_doc = (
+        eval_pairs.join(
+            F.broadcast(corpus_hits.withColumn("_hit", F.lit(1))),
+            "gram",
+            "left",
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_matched"),
+        )
+    )
+    return (
+        eval_df.select(F.col(id_col).alias("id"))
+        .join(F.broadcast(per_doc), "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            F.round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) > 0,
+                    F.coalesce("n_matched", F.lit(0))
+                    / F.col("n_grams").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("coverage"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     quotas: dict[str, int],

@@ -980,3 +980,74 @@ def test_incremental_corpus_hot_cap(spark):
     assert capped.count() == 0  # cap removes the only shared shingles
     with pytest.raises(ValueError):
         incremental_near_duplicates(new, corpus, threshold=0.0)
+
+
+def test_ngram_coverage_exact_fractions(spark):
+    from ocr_spark.operators.dedup import ngram_coverage
+
+    # k=3 grams (tokens are >=3-letter words per WORD_RE); train doc
+    # repeats one eval doc's text verbatim
+    train = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # 3 grams
+            (11, "xray yankee zulu whiskey"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),   # contained -> 3/3
+            # first gram matches; the other three don't -> 1/4
+            (1, "alpha beta gamma quebec romeo sierra"),
+            (2, "papa quebec romeo"),                 # no match -> 0/1
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: (r["n_grams"], r["n_matched"], r["coverage"])
+        for r in ngram_coverage(train, evals, k=3).collect()
+    }
+    assert got[0] == (3, 3, 1.0)
+    assert got[1] == (4, 1, 0.25)
+    assert got[2] == (1, 0, 0.0)
+
+
+def test_ngram_coverage_short_doc_single_shingle(spark):
+    from ocr_spark.operators.dedup import ngram_coverage
+
+    # under k tokens both sides fall back to the whole-doc shingle, so an
+    # exact short dup scores 1.0 and a near-miss scores 0.0
+    train = spark.createDataFrame([(10, "tiny doc")], ["doc_id", "text"])
+    evals = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "tiny dog")], ["doc_id", "text"]
+    )
+    got = {
+        r["id"]: r["coverage"]
+        for r in ngram_coverage(train, evals, k=5).collect()
+    }
+    assert got == {0: 1.0, 1: 0.0}
+
+
+def test_ngram_coverage_no_corpus_gram_shuffle(spark):
+    from ocr_spark.operators.dedup import ngram_coverage
+
+    train = spark.createDataFrame(
+        [
+            (i, f"word{i:03d} alpha beta gamma delta epsilon zeta")
+            for i in range(30)
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    plan = (
+        ngram_coverage(train, evals, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus side must reach its filter through a broadcast LEFT-SEMI
+    # probe, never a sort-merge join or a corpus-gram exchange
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
