@@ -4088,6 +4088,49 @@ ORDER BY id
 """
 
 
+def _cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy-hitter harness (X51): exact top-20 corpus
+    terms probed against a depth-4 × width-1024 CMS of the token stream;
+    the one-sided-error property (cms_est >= exact) must hold on every
+    row. The sketch is the mergeable fixed-memory scale path; the oracle
+    reproduces its cell arithmetic bit-for-bit."""
+    from ocr_spark.operators.textstats import cms_heavy_hitters
+
+    return cms_heavy_hitters(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+_CMS_HH_SQL = f"""
+WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}'))
+               AS term
+             FROM documents),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM tok GROUP BY term),
+cand AS (SELECT * FROM exact ORDER BY exact_cnt DESC, term LIMIT 20),
+rows AS (SELECT unnest(generate_series(0, 3)) AS row),
+cells AS (
+  SELECT r.row,
+         ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || t.term),
+                         1, 15))::BIGINT % 1024 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tok t CROSS JOIN rows r
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.term, c.exact_cnt, min(s.cnt) AS cms_est
+  FROM cand c
+  CROSS JOIN rows r
+  JOIN cells s
+    ON s.row = r.row
+   AND s.bucket = ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':'
+                                      || c.term), 1, 15))::BIGINT % 1024
+  GROUP BY c.term, c.exact_cnt
+)
+SELECT term, exact_cnt, cms_est, cms_est >= exact_cnt AS overestimate,
+       ROUND((cms_est - exact_cnt) / CAST(exact_cnt AS DOUBLE), 4) AS rel_err
+FROM est ORDER BY exact_cnt DESC, term
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2 plus the
     training-data-pipeline operators. Keys ↔ oracle_sql keys.
@@ -4390,6 +4433,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialogue_audit": _dialogue_audit,
         # round-5 session-5 graded contamination overlap (X50)
         "ngram_coverage": _ngram_coverage,
+        # round-5 session-5 count-min-sketch heavy hitters (X51)
+        "cms_heavy_hitters": _cms_heavy_hitters,
     }
 
 
@@ -4447,6 +4492,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "collapse_repeats": _COLLAPSE_REPEATS_SQL,
         "dialogue_audit": _DIALOGUE_AUDIT_SQL,
         "ngram_coverage": _NGRAM_COVERAGE_SQL,
+        "cms_heavy_hitters": _CMS_HH_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

@@ -1024,3 +1024,123 @@ def length_quantiles(
         for i, name in enumerate(names)
     ]
     return agg.select(*cols).orderBy(group_col)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (SURVEY §2.8 X51).
+# ---------------------------------------------------------------------------
+
+#: CMS defaults: depth 4 / width 1024 → ε = e/w ≈ 0.27% of the stream
+#: length per cell at δ = e^-4 ≈ 1.8% failure odds (Cormode & Muthukrishnan
+#: 2005 bounds); 4096 counters regardless of corpus size
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_bucket(term: Column, row: Column | int, width: int) -> Column:
+    """CMS bucket for ``term`` under hash row ``row``: the family's
+    md5-prefix 60-bit key over 'row:term', mod ``width`` — ONE definition
+    shared by the sketch build and the estimate probe (and reproduced
+    verbatim by the DuckDB oracle)."""
+    r = F.lit(row) if isinstance(row, int) else row
+    digest = F.md5(F.concat(r.cast("string"), F.lit(":"), term))
+    return (
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("long") % width
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of the corpus token-occurrence stream:
+    ``(row, bucket, cnt)`` with ``cnt = Σ occurrences of all terms hashing
+    to (row, bucket)``. At most ``depth·width`` output rows NO MATTER the
+    corpus size — the mergeable fixed-memory frequency summary (merging two
+    sketches = adding their cells), which is what survives 100 TB when the
+    exact vocabulary table cannot be kept hot.
+
+    Shape: one narrow explode of token occurrences × ``depth`` hash rows,
+    then ONE hash-agg keyed on (row, bucket) — map-side partial combine
+    absorbs hot terms (every occurrence of a Zipf-head word pre-aggregates
+    inside its task), so the shuffle carries ≤ depth·width rows per task.
+    """
+    from ocr_spark.functions.explode import explode_nonnull
+
+    occ = explode_nonnull(df.select(tokens(text_col).alias("_cms_t")),
+                          "_cms_t", "term")
+    rows = explode_nonnull(
+        occ.select("term", F.sequence(F.lit(0), F.lit(depth - 1)).alias("_r")),
+        "_r",
+        "row",
+        "term",
+    )
+    return (
+        rows.select("row", cms_bucket(F.col("term"), F.col("row"), width).alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    top_k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter eval harness over the sketch: the exact top-``top_k``
+    corpus terms (count desc, term asc — deterministic tie-break) probed
+    against the CMS, one row per term::
+
+        (term, exact_cnt, cms_est, overestimate, rel_err)
+
+    ``cms_est = min over rows of cell(row, h_row(term))`` — the classic
+    point query. ``overestimate`` must be TRUE for every term (CMS error
+    is one-sided; pytest pins it as a property, the oracle pins the exact
+    cell arithmetic); ``rel_err`` is the 4-dp relative overcount.
+
+    Like :func:`ivf_recall` for ANN, this is the sketch-quality eval: the
+    exact side is affordable here because the word-type vocabulary is
+    Zipf-bounded (the same argument as the BPE trainer), and at 100 TB the
+    sketch alone — merged per partition, 4096 longs — answers the same
+    point queries without any exact vocabulary pass.
+
+    The probe side is driver-free: candidate terms expand to their
+    ``depth`` (row, bucket) keys and broadcast-join the ≤ depth·width-row
+    sketch; the min-over-rows is a ``top_k``-row aggregate.
+    """
+    if depth < 1 or width < 1 or top_k < 1:
+        raise ValueError("depth, width and top_k must be positive")
+    exact = unigram_counts(df, text_col)
+    candidates = exact.orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    ).limit(top_k)
+    sketch = cms_sketch(df, text_col, depth, width)
+    probes = (
+        candidates.select(
+            F.col("token").alias("term"),
+            F.col("cnt").alias("exact_cnt"),
+            F.sequence(F.lit(0), F.lit(depth - 1)).alias("_r"),
+        )
+        .select("term", "exact_cnt", F.explode("_r").alias("row"))
+        .withColumn("bucket", cms_bucket(F.col("term"), F.col("row"), width))
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "inner")
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "term",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("overestimate"),
+        F.round(
+            (F.col("cms_est") - F.col("exact_cnt"))
+            / F.col("exact_cnt").cast("double"),
+            4,
+        ).alias("rel_err"),
+    ).orderBy(F.col("exact_cnt").desc(), F.col("term").asc())

@@ -872,3 +872,80 @@ def test_length_quantiles_name_collision_rejected(spark):
     df = spark.createDataFrame([(1, "s", 2)], ["doc_id", "source", "n_chars"])
     with pytest.raises(ValueError):
         length_quantiles(df, probs=(0.25, 0.254))
+
+
+def test_cms_overestimates_never_undercounts(spark):
+    from ocr_spark.operators.textstats import cms_heavy_hitters
+
+    rows = [
+        (i, " ".join(f"word{chr(97 + j)}" for j in range(i % 7 + 3)) * 2)
+        for i in range(40)
+    ]
+    out = cms_heavy_hitters(
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        depth=3,
+        width=64,
+        top_k=10,
+    ).collect()
+    assert len(out) == 10
+    assert all(r["overestimate"] for r in out)
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in out)
+
+
+def test_cms_exact_when_wide(spark):
+    from ocr_spark.operators.textstats import cms_heavy_hitters
+
+    # 3 distinct terms in a 4096-wide sketch: collisions are (provably,
+    # by direct bucket computation below) absent, so est == exact
+    rows = [(0, "apple apple banana"), (1, "apple cherry cherry cherry")]
+    out = cms_heavy_hitters(
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        depth=4,
+        width=4096,
+        top_k=3,
+    ).collect()
+    got = {r["term"]: (r["exact_cnt"], r["cms_est"], r["rel_err"]) for r in out}
+    assert got["apple"] == (3, 3, 0.0)
+    assert got["cherry"] == (3, 3, 0.0)
+    assert got["banana"] == (1, 1, 0.0)
+    # cross-engine bucket independence: no (row, bucket) collision
+    import hashlib
+
+    buckets = {
+        (r, int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:15], 16) % 4096)
+        for t in ("apple", "banana", "cherry")
+        for r in range(4)
+    }
+    assert len(buckets) == 12
+
+
+def test_cms_sketch_is_mergeable(spark):
+    from ocr_spark.operators.textstats import cms_sketch
+
+    a = spark.createDataFrame([(0, "red green blue red")], ["doc_id", "text"])
+    b = spark.createDataFrame([(1, "red yellow")], ["doc_id", "text"])
+    both = a.union(b)
+
+    def cells(df):
+        return {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_sketch(df, depth=2, width=32).collect()
+        }
+
+    ca, cb, cu = cells(a), cells(b), cells(both)
+    merged = dict(ca)
+    for k, v in cb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cu
+
+
+def test_cms_validates_params(spark):
+    from ocr_spark.operators.textstats import cms_heavy_hitters
+
+    df = spark.createDataFrame([(0, "one two")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(df, depth=0)
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(df, top_k=0)
