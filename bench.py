@@ -90,6 +90,9 @@ HEADLINE = [
     "leakage_safe_split",
     "ivf_recall",
     "collapse_repeats",
+    "dialogue_audit",
+    "ngram_coverage",
+    "cms_heavy_hitters",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",
