@@ -4131,6 +4131,79 @@ FROM est ORDER BY exact_cnt DESC, term
 """
 
 
+def _lsh_recall(spark, sf_dir):
+    """LSH candidate-recall harness (X52): what fraction of the exact
+    Jaccard near-dup pairs (the gate's truth config: k=3, cap, floor 0.1)
+    does the gate's 16-hash / 4-band MinHash index surface as raw band
+    collisions, graded at 0.3 / 0.5 / 0.7 — the dedup twin of ivf_recall."""
+    from ocr_spark.operators.dedup import lsh_recall
+
+    return lsh_recall(
+        _t(spark, sf_dir, "documents"),
+        thresholds=(0.3, 0.5, 0.7),
+        truth_threshold=0.1,
+        n_hashes=16,
+        n_bands=4,
+        k=3,
+        max_doc_freq=_JACCARD_CAP,
+        max_bucket_size=1000,
+    )
+
+
+_LSH_RECALL_SQL = f"""
+WITH truth AS ({_JACCARD_SQL}),
+sigs AS ({_MINHASH_SQL}),
+sigarr AS (SELECT id, list(minhash ORDER BY seed) AS sig FROM sigs GROUP BY id),
+bands AS (
+  SELECT id, b.band,
+         md5(array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
+                                            x -> CAST(x AS VARCHAR)), '|')) AS bucket
+  FROM sigarr CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id
+),
+j AS (
+  SELECT t.jaccard, c.id_a IS NOT NULL AS hit
+  FROM truth t LEFT JOIN cands c ON c.id_a = t.id_a AND c.id_b = t.id_b
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cands),
+s AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN jaccard >= 0.3 THEN 1 END), 0) AS BIGINT) AS nt0,
+    CAST(coalesce(sum(CASE WHEN jaccard >= 0.3 AND hit THEN 1 END), 0) AS BIGINT) AS nh0,
+    CAST(coalesce(sum(CASE WHEN jaccard >= 0.5 THEN 1 END), 0) AS BIGINT) AS nt1,
+    CAST(coalesce(sum(CASE WHEN jaccard >= 0.5 AND hit THEN 1 END), 0) AS BIGINT) AS nh1,
+    CAST(coalesce(sum(CASE WHEN jaccard >= 0.7 THEN 1 END), 0) AS BIGINT) AS nt2,
+    CAST(coalesce(sum(CASE WHEN jaccard >= 0.7 AND hit THEN 1 END), 0) AS BIGINT) AS nh2
+  FROM j
+)
+SELECT CAST(0.3 AS DOUBLE) AS threshold, nt0 AS n_true_pairs, n_candidates,
+       nh0 AS n_hits,
+       ROUND(CASE WHEN nt0 > 0 THEN nh0 / CAST(nt0 AS DOUBLE) ELSE 0.0 END, 4)
+         AS recall,
+       ROUND(CASE WHEN n_candidates > 0
+                  THEN nh0 / CAST(n_candidates AS DOUBLE) ELSE 0.0 END, 4)
+         AS cand_precision
+FROM s, n
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE), nt1, n_candidates, nh1,
+       ROUND(CASE WHEN nt1 > 0 THEN nh1 / CAST(nt1 AS DOUBLE) ELSE 0.0 END, 4),
+       ROUND(CASE WHEN n_candidates > 0
+                  THEN nh1 / CAST(n_candidates AS DOUBLE) ELSE 0.0 END, 4)
+FROM s, n
+UNION ALL
+SELECT CAST(0.7 AS DOUBLE), nt2, n_candidates, nh2,
+       ROUND(CASE WHEN nt2 > 0 THEN nh2 / CAST(nt2 AS DOUBLE) ELSE 0.0 END, 4),
+       ROUND(CASE WHEN n_candidates > 0
+                  THEN nh2 / CAST(n_candidates AS DOUBLE) ELSE 0.0 END, 4)
+FROM s, n
+ORDER BY threshold
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2 plus the
     training-data-pipeline operators. Keys ↔ oracle_sql keys.
@@ -4435,6 +4508,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_coverage": _ngram_coverage,
         # round-5 session-5 count-min-sketch heavy hitters (X51)
         "cms_heavy_hitters": _cms_heavy_hitters,
+        # round-5 session-5 LSH candidate-recall harness (X52)
+        "lsh_recall": _lsh_recall,
     }
 
 
@@ -4493,6 +4568,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dialogue_audit": _DIALOGUE_AUDIT_SQL,
         "ngram_coverage": _NGRAM_COVERAGE_SQL,
         "cms_heavy_hitters": _CMS_HH_SQL,
+        "lsh_recall": _LSH_RECALL_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

@@ -93,6 +93,7 @@ HEADLINE = [
     "dialogue_audit",
     "ngram_coverage",
     "cms_heavy_hitters",
+    "lsh_recall",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

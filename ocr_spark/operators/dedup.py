@@ -1010,6 +1010,115 @@ def bloom_decontaminate(
     ).filter(F.col("n_overlap") <= max_overlap)
 
 
+def lsh_recall(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.3, 0.5, 0.7),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 3,
+    truth_threshold: float | None = None,
+    max_doc_freq: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidate-recall eval harness (SURVEY §2.8 X52) — the dedup
+    twin of :func:`~ocr_spark.operators.similarity.ivf_recall`: before
+    trusting a (n_hashes, n_bands) MinHash-LSH configuration to find the
+    corpus's near-duplicates, measure what fraction of the TRUE near-dup
+    pairs (exact shingle Jaccard ≥ t) the banded candidate generation
+    actually surfaces. One row per truth threshold::
+
+        (threshold, n_true_pairs, n_candidates, n_hits, recall,
+         cand_precision)
+
+    ``n_candidates`` is threshold-independent (the index emits one
+    candidate set); ``cand_precision`` = hits/candidates — how much of the
+    candidate stream is real at that threshold, i.e. the verification cost
+    multiplier. Candidates are the RAW band collisions (no signature-
+    similarity filter): this measures the index, not the verifier.
+
+    Exact-duplicate pairs are candidates by construction (equal signatures
+    collide in every band — pytest-pinned); probabilistic recall for
+    partial overlaps is exactly what this harness quantifies.
+
+    Scale shape: the truth side is the exact Jaccard posting-pair stream
+    (the expensive-but-affordable offline eval, same stance as ivf_recall's
+    exact kNN side); candidates ride one banded-posting shuffle; the
+    compare is one (id_a, id_b) equi-join of two pair streams plus a
+    single-row aggregate crossed with the 1-row candidate count (the lazy
+    global-stats idiom). Truth pairs carry ``truth_threshold`` (default
+    ``min(thresholds)``) so nothing below the lowest graded threshold is
+    ever materialized.
+    """
+    ths = [float(t) for t in thresholds]
+    if not ths or any(t <= 0 or t > 1 for t in ths):
+        raise ValueError("thresholds must be in (0, 1]")
+    floor = min(ths) if truth_threshold is None else float(truth_threshold)
+    if floor > min(ths):
+        raise ValueError("truth_threshold must not exceed min(thresholds)")
+    truth = jaccard_near_duplicates(
+        df, text_col, id_col, threshold=floor, k=k, max_doc_freq=max_doc_freq
+    )
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, text_col, id_col, n_hashes, k),
+        n_bands,
+        max_bucket_size,
+    )
+    joined = truth.join(
+        cands.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    sums = joined.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("jaccard") >= F.lit(t)).cast("long")), F.lit(0)
+            ).alias(f"_nt{i}")
+            for i, t in enumerate(ths)
+        ],
+        *[
+            F.coalesce(
+                F.sum(
+                    (
+                        (F.col("jaccard") >= F.lit(t))
+                        & F.col("_hit").isNotNull()
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias(f"_nh{i}")
+            for i, t in enumerate(ths)
+        ],
+    )
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    stack = ", ".join(
+        f"CAST({t} AS DOUBLE), _nt{i}, _nh{i}" for i, t in enumerate(ths)
+    )
+    wide = sums.crossJoin(F.broadcast(n_cand))
+    long = wide.selectExpr(
+        "n_candidates",
+        f"stack({len(ths)}, {stack}) AS (threshold, n_true_pairs, n_hits)",
+    )
+    return long.select(
+        "threshold",
+        "n_true_pairs",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_hits") / F.col("n_true_pairs").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_hits") / F.col("n_candidates").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("cand_precision"),
+    ).orderBy("threshold")
+
+
 def ngram_coverage(
     df: DataFrame,
     eval_df: DataFrame,

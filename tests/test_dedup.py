@@ -1051,3 +1051,66 @@ def test_ngram_coverage_no_corpus_gram_shuffle(spark):
     # probe, never a sort-merge join or a corpus-gram exchange
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_recall_exact_dups_always_hit(spark):
+    from ocr_spark.operators.dedup import lsh_recall
+
+    # two exact duplicates (jaccard 1.0): equal signatures collide in
+    # every band, so the pair MUST be a candidate at any config
+    rows = [
+        (0, BASE),
+        (1, BASE),
+        (2, FAR),
+        (3, "another unrelated document about benchmark harness design"),
+    ]
+    out = lsh_recall(
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        thresholds=(0.9,),
+        n_hashes=8,
+        n_bands=2,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_true_pairs"] == 1 and r["n_hits"] == 1
+    assert r["recall"] == 1.0
+
+
+def test_lsh_recall_invariants_on_partial_overlaps(spark):
+    from ocr_spark.operators.dedup import lsh_recall
+
+    # graded overlaps: truth counts must be monotone nonincreasing in the
+    # threshold, hits bounded by truth AND candidates, ratios consistent
+    rows = [(i, BASE) for i in range(3)] + [
+        (10, NEAR),
+        (11, BASE.replace("the", "a")),
+        (12, FAR),
+        (13, FAR + " with a small tail of extra words appended here"),
+    ]
+    out = lsh_recall(
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        thresholds=(0.2, 0.5, 0.8),
+        n_hashes=16,
+        n_bands=4,
+    ).collect()
+    assert [r["threshold"] for r in out] == [0.2, 0.5, 0.8]
+    trues = [r["n_true_pairs"] for r in out]
+    assert trues == sorted(trues, reverse=True)
+    for r in out:
+        assert 0 <= r["n_hits"] <= r["n_true_pairs"]
+        assert r["n_hits"] <= r["n_candidates"]
+        if r["n_true_pairs"]:
+            assert r["recall"] == round(r["n_hits"] / r["n_true_pairs"], 4)
+        assert r["n_candidates"] == out[0]["n_candidates"]
+
+
+def test_lsh_recall_validates(spark):
+    from ocr_spark.operators.dedup import lsh_recall
+
+    df = spark.createDataFrame([(0, BASE)], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        lsh_recall(df, thresholds=())
+    with pytest.raises(ValueError):
+        lsh_recall(df, thresholds=(0.0, 0.5))
+    with pytest.raises(ValueError):
+        lsh_recall(df, thresholds=(0.5,), truth_threshold=0.7)

@@ -40,7 +40,7 @@ DOC_QUERIES = [
     "char_entropy", "heaps_growth", "cross_source_dup_matrix",
     "temperature_resample", "length_quantiles",
     "incremental_near_dup", "leakage_safe_split", "collapse_repeats",
-    "ngram_coverage", "cms_heavy_hitters",
+    "ngram_coverage", "cms_heavy_hitters", "lsh_recall",
     # extras (need --extended)
     "minhash_signatures", "simhash", "dedup_corpus", "fingerprints",
     "token_counts", "winnow_fingerprints", "doc_tf_embeddings", "doc_quality",
