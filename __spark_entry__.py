@@ -4204,6 +4204,120 @@ ORDER BY threshold
 """
 
 
+def _centroid_similarity(spark, sf_dir):
+    """Per-source centroid cosine matrix (X53): fixed-point integer
+    component sums (exact, shuffle-order-independent) per label; cosine of
+    the sum vectors (the 1/n scaling cancels) via the family's fixed-order
+    IEEE fold — the embedding-side provenance diagnostic beside the
+    token-side per-source KL (X31) and the pair-level dup matrix (X39)."""
+    from ocr_spark.operators.similarity import source_centroid_similarity
+
+    return source_centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
+_CENTROID_SIM_SQL = """
+WITH q AS (
+  SELECT label AS lbl,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+ex AS (
+  SELECT lbl,
+         unnest(generate_series(1, len(qv))) AS dim,
+         unnest(qv) AS val
+  FROM q
+),
+sums AS (
+  SELECT lbl, dim, coalesce(sum(val), 0) AS s FROM ex GROUP BY lbl, dim
+),
+vecs AS (
+  SELECT lbl, list(CAST(s AS DOUBLE) ORDER BY dim) AS sv
+  FROM sums GROUP BY lbl
+),
+cnt AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY lbl),
+lv AS (SELECT vecs.lbl, sv, n FROM vecs JOIN cnt USING (lbl))
+SELECT a.lbl AS label_a, b.lbl AS label_b, a.n AS n_a, b.n AS n_b,
+       ROUND(CASE WHEN sqrt(list_inner_product(a.sv, a.sv)) *
+                       sqrt(list_inner_product(b.sv, b.sv)) <> 0.0
+                  THEN list_inner_product(a.sv, b.sv) /
+                       (sqrt(list_inner_product(a.sv, a.sv)) *
+                        sqrt(list_inner_product(b.sv, b.sv)))
+             END, 6) AS centroid_cos
+FROM lv a JOIN lv b ON a.lbl <= b.lbl
+"""
+
+
+def _ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty (X54): fraction of a document's distinct
+    word 3-grams (the family shingle key) whose first corpus occurrence
+    (min doc_id) is this document — the graded marginal-contribution
+    metric for dedup-aware sampling; verbatim dup of an earlier doc → 0.0,
+    all-new text → 1.0, zero-gram docs → NULL."""
+    from ocr_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+def _ngram_novelty_sql() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+g AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+  FROM sh
+),
+gg AS (SELECT doc_id, s FROM g WHERE s IS NOT NULL),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM gg GROUP BY doc_id
+),
+firsts AS (SELECT s, min(doc_id) AS fid FROM gg GROUP BY s),
+novel AS (
+  SELECT fid AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+  FROM firsts GROUP BY fid
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(v.n_novel, 0) AS BIGINT) AS n_novel,
+       ROUND(CASE WHEN coalesce(p.n_grams, 0) > 0
+                  THEN coalesce(v.n_novel, 0) / CAST(p.n_grams AS DOUBLE)
+             END, 4) AS novelty
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN novel v USING (doc_id)
+"""
+
+
+def _normalized_dedup(spark, sf_dir):
+    """Normalized exact dedup (X55): the CCNet/Dolma canonical-form tier
+    between byte-exact dedup and shingle near-dup — group on
+    md5(lowercase, non-alphanumeric runs → one space, trimmed), keep min
+    id, count copies plus distinct raw texts per group."""
+    from ocr_spark.operators.dedup import normalized_dedup
+
+    return normalized_dedup(_t(spark, sf_dir, "documents"))
+
+
+_NORMALIZED_DEDUP_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS norm_hash,
+         md5(text) AS raw_hash
+  FROM documents
+),
+b AS (
+  SELECT norm_hash, raw_hash, min(doc_id) AS mid,
+         CAST(count(*) AS BIGINT) AS n
+  FROM n GROUP BY norm_hash, raw_hash
+)
+SELECT norm_hash, CAST(min(mid) AS BIGINT) AS keep_id,
+       CAST(sum(n) AS BIGINT) AS n_copies,
+       CAST(count(*) AS BIGINT) AS n_exact
+FROM b GROUP BY norm_hash
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2 plus the
     training-data-pipeline operators. Keys ↔ oracle_sql keys.
@@ -4510,6 +4624,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _cms_heavy_hitters,
         # round-5 session-5 LSH candidate-recall harness (X52)
         "lsh_recall": _lsh_recall,
+        # round-5 session-7 per-source centroid cosine matrix (X53)
+        "centroid_similarity": _centroid_similarity,
+        # round-5 session-7 per-doc n-gram novelty (X54)
+        "ngram_novelty": _ngram_novelty,
+        # round-5 session-7 normalized exact dedup (X55)
+        "normalized_dedup": _normalized_dedup,
     }
 
 
@@ -4569,6 +4689,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "ngram_coverage": _NGRAM_COVERAGE_SQL,
         "cms_heavy_hitters": _CMS_HH_SQL,
         "lsh_recall": _LSH_RECALL_SQL,
+        "centroid_similarity": _CENTROID_SIM_SQL,
+        "ngram_novelty": _ngram_novelty_sql(),
+        "normalized_dedup": _NORMALIZED_DEDUP_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

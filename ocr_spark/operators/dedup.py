@@ -1656,3 +1656,122 @@ def incremental_near_duplicates(
         .select("id_new", "id_corpus", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty — the marginal-contribution metric for
+    dedup-aware sampling and data valuation: for each document, the
+    fraction of its distinct word k-grams whose FIRST corpus occurrence
+    (smallest document id, the X29/X38 first-winner rule) is this
+    document. A verbatim duplicate of an earlier document scores 0.0; a
+    document of entirely unseen text scores 1.0; boilerplate-heavy pages
+    land in between — the graded complement of exact/near dedup's binary
+    keep/drop, and the ordering signal for "keep the most novel N docs"
+    curation passes.
+
+    Shares the Jaccard/decontamination family's shingle construction and
+    60-bit md5-prefix key verbatim (``shingle_ids_from_tokens``), so
+    sub-k-token documents contribute their single full-join shingle and
+    the collision rate is the family's documented one; NULL-hash elements
+    (NULL text) are excluded on both engines, so a NULL-text document
+    reports (0, 0, NULL) via the left join. Zero-gram docs → novelty
+    NULL (no evidence), never 0 (which would mean "all duplicated").
+
+    100 TB shuffle profile: the gram stream is exploded ONCE and feeds
+    two map-combined aggregations — per-doc distinct-gram counts (key =
+    doc id) and per-gram min-id firsts (key = gram; partial combine
+    absorbs billion-occurrence boilerplate grams, the same argument as
+    X29/X38) — the novel-count rollup then groups the VOCABULARY-sized
+    firsts frame, and the final assembly joins two one-row-per-doc
+    frames back to the id spine. No corpus self-join, no window over the
+    gram stream.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from ocr_spark.operators.textstats import tokens
+
+    spine = df.select(F.col(id_col).alias("doc_id"))
+    grams = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(text_col).alias("_t"),
+        )
+        .select(
+            "doc_id",
+            F.explode(shingle_ids_from_tokens(F.col("_t"), k)).alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    firsts = grams.groupBy("_s").agg(F.min("doc_id").alias("_fid"))
+    novel = firsts.groupBy(F.col("_fid").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    return (
+        spine.join(per_doc, "doc_id", "left")
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) > 0,
+                    F.coalesce("n_novel", F.lit(0))
+                    / F.col("n_grams").cast("double"),
+                ),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+def normalized_text(text_col: str = "text") -> Column:
+    """Aggressive canonical form for normalized exact dedup (the
+    Dolma/CCNet middle tier): lowercase, every non-alphanumeric run
+    collapsed to one space, ends trimmed — so case, punctuation,
+    whitespace layout, and markup debris never hide a duplicate. A pure
+    codegen'd expression (lower + one regexp_replace + trim), identical
+    regex semantics in the DuckDB oracle."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+
+
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalized exact duplicate grouping — the standard cheap tier
+    between byte-exact dedup and shingle near-dup (CCNet dedups on
+    normalized paragraph hashes, Wenzek et al. 2020 §3.1; Dolma's exact
+    dedup canonicalizes before hashing): group on
+    ``md5(normalized_text)``, keep the min id, count copies, and also
+    report ``n_exact`` (distinct RAW texts inside the group) so
+    "normalization found k more duplicate classes than byte equality"
+    is read directly off the output.
+
+    Same scale shape as :func:`exact_dedup` — ONE hash-aggregate on a
+    fixed-width digest with map-side partial combine; the distinct-raw
+    count rides the same shuffle as an approx-free two-level agg
+    (group by (norm, raw) first, both map-combined), so no second
+    corpus pass and no text bytes in flight.
+    """
+    both = df.groupBy(
+        F.md5(normalized_text(text_col)).alias("norm_hash"),
+        F.md5(F.col(text_col)).alias("_raw_hash"),
+    ).agg(
+        F.min(id_col).alias("_min_id"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return both.groupBy("norm_hash").agg(
+        F.min("_min_id").alias("keep_id"),
+        F.sum("_n").cast("long").alias("n_copies"),
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+    )

@@ -1534,3 +1534,85 @@ def ivf_recall(
         )
         .orderBy("query_id")
     )
+
+
+def source_centroid_similarity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Per-source embedding centroid + cross-source centroid-cosine matrix —
+    the vector-side provenance diagnostic beside the token-side per-source
+    KL (X31) and the pair-level cross-source dup matrix (X39): which
+    sources occupy the same embedding region (mixture redundancy, crawl
+    overlap, template families) BEFORE committing to per-source mixture
+    weights or caps.
+
+    Exactness design (the V8/X43 fixed-point trick): each component is
+    quantized to ``floor(x·scale)`` BIGINT — floor of an exact
+    power-of-two product of the widened float is deterministic — so the
+    per-(label, dim) SUM is exact integer math, independent of shuffle
+    order, partitioning, and engine. Cosine is scale-invariant, so the
+    centroid (sum/n) is replaced by the raw sum vector and the division
+    by n cancels; the only IEEE arithmetic is the final fixed-order
+    ``zip_with``/``aggregate`` dot folds over exactly-representable
+    integers (|Σ| < 2⁵³ for any realistic corpus: unit-ish components
+    quantized at 2²⁰ leave 2³² rows of headroom per source), which DuckDB
+    replays index-for-index via ``list_inner_product``; 6-dp round per
+    the cosine-family convention. Zero-norm centroid → NULL cosine.
+    NULL rows (label or vector) are excluded; NULL elements contribute
+    nothing to their dimension's sum in either engine (SUM skips NULL).
+    Vectors must share one dimensionality (the embeddings-table contract).
+
+    Output: one row per unordered label pair (label_a ≤ label_b,
+    diagonal included — its 6-dp cosine is exactly 1.0, a built-in
+    sanity row), with per-source counts.
+
+    100 TB shuffle profile: ONE map-combined (label, dim) aggregation —
+    the corpus never shuffles as rows, only ≤ |labels|·dim partial sums
+    per task; per-label reassembly, counts, and the |labels|² pair join
+    all operate on frames bounded by the (tiny) label cardinality, the
+    pair join riding an explicit broadcast.
+    """
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    q = df.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("_lbl"),
+        F.transform(
+            _as_double(vec_col),
+            lambda x: F.floor(x * F.lit(float(scale))).cast("long"),
+        ).alias("_qv"),
+    )
+    sums = q.select("_lbl", F.posexplode("_qv").alias("_dim", "_val")).groupBy(
+        "_lbl", "_dim"
+    ).agg(F.coalesce(F.sum("_val"), F.lit(0)).alias("_s"))
+    vecs = (
+        sums.groupBy("_lbl")
+        .agg(F.sort_array(F.collect_list(F.struct("_dim", "_s"))).alias("_ps"))
+        .select(
+            "_lbl",
+            F.transform("_ps", lambda p: p["_s"].cast("double")).alias("_sv"),
+        )
+    )
+    cnt = q.groupBy("_lbl").agg(F.count(F.lit(1)).alias("_n"))
+    lv = vecs.join(cnt, "_lbl")
+    a, b = lv.alias("a"), lv.alias("b")
+    denom = norm(F.col("a._sv")) * norm(F.col("b._sv"))
+    return a.join(
+        F.broadcast(b), F.col("a._lbl") <= F.col("b._lbl")
+    ).select(
+        F.col("a._lbl").alias("label_a"),
+        F.col("b._lbl").alias("label_b"),
+        F.col("a._n").alias("n_a"),
+        F.col("b._n").alias("n_b"),
+        F.round(
+            F.when(
+                denom != F.lit(0.0),
+                dot(F.col("a._sv"), F.col("b._sv")) / denom,
+            ),
+            6,
+        ).alias("centroid_cos"),
+    )

@@ -1114,3 +1114,163 @@ def test_lsh_recall_validates(spark):
         lsh_recall(df, thresholds=(0.0, 0.5))
     with pytest.raises(ValueError):
         lsh_recall(df, thresholds=(0.5,), truth_threshold=0.7)
+
+
+class TestNgramNovelty:
+    """X54: per-doc n-gram novelty (first-occurrence marginal contribution)."""
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_duplicate_scores_zero(self, spark):
+        from ocr_spark.operators.dedup import ngram_novelty
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog tonight",
+            "the quick brown fox jumps over the lazy dog tonight",
+            "completely different words appear in this final sentence here",
+        ]
+        out = {r["doc_id"]: r for r in ngram_novelty(self._docs(spark, texts)).collect()}
+        assert out[0]["novelty"] == 1.0
+        assert out[1]["novelty"] == 0.0
+        assert out[1]["n_grams"] == out[0]["n_grams"]
+        assert out[2]["novelty"] == 1.0
+
+    def test_matches_python_reference(self, spark):
+        import random as _r
+        import hashlib
+
+        import re
+
+        rng = _r.Random(54)
+        vocab = ["".join(rng.choice("abcdefghij") for _ in range(rng.randrange(3, 8)))
+                 for _ in range(30)]
+        texts = [" ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25)))
+                 for _ in range(60)]
+
+        def ref():
+            def grams(t):
+                toks = re.findall(r"[a-z]{3,}", t.lower())
+                if len(toks) >= 3:
+                    gs = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+                else:
+                    gs = {" ".join(toks)}
+                return {int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                        for g in gs}
+
+            per = [grams(t) for t in texts]
+            first: dict = {}
+            for i, gs in enumerate(per):
+                for g in sorted(gs):
+                    first.setdefault(g, i)
+            out = {}
+            for i, gs in enumerate(per):
+                n_novel = sum(1 for g in gs if first[g] == i)
+                nov = round(n_novel / len(gs), 4) if gs else None
+                out[i] = (len(gs), n_novel, nov)
+            return out
+
+        from ocr_spark.operators.dedup import ngram_novelty
+
+        got = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+               for r in ngram_novelty(self._docs(spark, texts)).collect()}
+        assert got == ref()
+
+    def test_null_text_reports_null_novelty(self, spark):
+        from ocr_spark.operators.dedup import ngram_novelty
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma delta"), (1, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+        assert out[1]["n_grams"] == 0 and out[1]["n_novel"] == 0
+        assert out[1]["novelty"] is None
+        assert out[0]["novelty"] == 1.0
+
+    def test_short_doc_single_shingle(self, spark):
+        from ocr_spark.operators.dedup import ngram_novelty
+
+        out = {r["doc_id"]: r for r in ngram_novelty(
+            self._docs(spark, ["only two", "only two"])).collect()}
+        assert out[0]["n_grams"] == 1 and out[0]["novelty"] == 1.0
+        assert out[1]["n_grams"] == 1 and out[1]["novelty"] == 0.0
+
+    def test_partitioning_invariance(self, spark):
+        import random as _r
+
+        rng = _r.Random(7)
+        vocab = ["".join(rng.choice("klmnopqrs") for _ in range(4))
+                 for _ in range(20)]
+        texts = [" ".join(rng.choice(vocab) for _ in range(15)) for _ in range(80)]
+        from ocr_spark.operators.dedup import ngram_novelty
+
+        df = self._docs(spark, texts)
+        base = sorted(map(tuple, ngram_novelty(df).collect()))
+        rep = sorted(map(tuple, ngram_novelty(df.repartition(13)).collect()))
+        assert rep == base
+
+    def test_k_validation(self, spark):
+        from ocr_spark.operators.dedup import ngram_novelty
+
+        with pytest.raises(ValueError, match="k"):
+            ngram_novelty(self._docs(spark, ["a b c"]), k=0)
+
+
+class TestNormalizedDedup:
+    """X55: normalized exact dedup (canonical-form duplicate classes)."""
+
+    def test_case_and_punctuation_variants_merge(self, spark):
+        from ocr_spark.operators.dedup import normalized_dedup
+
+        df = spark.createDataFrame(
+            [
+                (0, "Hello, World!  This is FINE."),
+                (1, "hello world this is fine"),
+                (2, "HELLO -- world ... this\tis\nfine"),
+                (3, "a genuinely different document"),
+            ],
+            "doc_id long, text string",
+        )
+        out = sorted(normalized_dedup(df).collect(), key=lambda r: r["keep_id"])
+        assert len(out) == 2
+        merged = out[0]
+        assert merged["keep_id"] == 0
+        assert merged["n_copies"] == 3
+        assert merged["n_exact"] == 3  # three distinct raw texts
+        assert out[1]["n_copies"] == 1 and out[1]["n_exact"] == 1
+
+    def test_byte_dups_counted_within_one_raw_class(self, spark):
+        from ocr_spark.operators.dedup import normalized_dedup
+
+        df = spark.createDataFrame(
+            [(0, "same text"), (1, "same text"), (2, "Same, Text")],
+            "doc_id long, text string",
+        )
+        out = normalized_dedup(df).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["keep_id"] == 0 and r["n_copies"] == 3 and r["n_exact"] == 2
+
+    def test_agrees_with_exact_dedup_when_no_normal_variants(self, spark):
+        from ocr_spark.operators.dedup import exact_dedup, normalized_dedup
+
+        df = spark.createDataFrame(
+            [(i, f"doc number {i} body") for i in range(20)]
+            + [(100, "doc number 3 body")],
+            "doc_id long, text string",
+        )
+        nd = {(r["keep_id"], r["n_copies"]) for r in normalized_dedup(df).collect()}
+        ed = {(r["keep_id"], r["n_copies"]) for r in exact_dedup(df).collect()}
+        assert nd == ed
+
+    def test_partitioning_invariance(self, spark):
+        from ocr_spark.operators.dedup import normalized_dedup
+
+        rows = [(i, f"Body {i % 7}!") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        base = sorted(map(tuple, normalized_dedup(df).collect()))
+        rep = sorted(map(tuple, normalized_dedup(df.repartition(11)).collect()))
+        assert rep == base

@@ -344,3 +344,44 @@ def test_semantic_dedup_assignment_narrow_pairs_one_cell_shuffle(spark):
     assert "FlatMapGroupsInPandas" in pplan
     assert "CartesianProduct" not in pplan
     assert pplan.count("Exchange") == 2  # cell groupBy + pair distinct
+
+
+def test_centroid_similarity_one_corpus_agg_broadcast_pairs(spark):
+    """X53: the corpus contributes ONE map-combined (label, dim) hash agg
+    — partial aggregation before the exchange — and the label-pair join
+    rides a broadcast, never a SortMergeJoin over the corpus."""
+    from ocr_spark.operators.similarity import source_centroid_similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(source_centroid_similarity(emb))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    # partial_sum before the exchange = map-side combine on the gram agg
+    assert "partial_sum" in plan
+
+
+def test_ngram_novelty_no_window_no_self_join(docs):
+    """X54: novelty is two map-combined aggs over one gram explode — no
+    window over the gram stream, no corpus self-join (the only joins are
+    the one-row-per-doc assembly joins back to the id spine)."""
+    from ocr_spark.operators.dedup import ngram_novelty
+
+    plan = _plan(ngram_novelty(docs))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # map-side combine on the firsts agg
+    assert "partial_count" in plan
+
+
+def test_normalized_dedup_two_level_partial_agg_no_text_shuffle(docs):
+    """X55: both aggregation levels partial-combine map-side and the
+    shuffled keys are fixed-width md5 digests — the raw text column never
+    appears in an Exchange's output schema."""
+    from ocr_spark.operators.dedup import normalized_dedup
+
+    plan = _plan(normalized_dedup(docs))
+    assert "partial_min" in plan and "partial_count" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line

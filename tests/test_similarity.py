@@ -754,3 +754,141 @@ def test_ivf_recall_validation(recall_setup):
         ivf_recall(corpus, queries, cents, nprobe=len(cents) + 1)
     with pytest.raises(ValueError):
         ivf_recall(corpus, queries.filter("vec_id < 0"), cents)
+
+
+class TestSourceCentroidSimilarity:
+    """X53: per-source fixed-point centroid cosine matrix."""
+
+    SCALE = 1 << 20
+
+    def _make(self, spark, rows):
+        schema = StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", LongType()),
+        ])
+        return spark.createDataFrame(
+            [(i, v, lab) for i, (v, lab) in enumerate(rows)], schema
+        )
+
+    def _reference(self, rows):
+        """Python reference: the same floor fixed-point sums + index-order
+        float fold the operator and oracle share."""
+        import collections
+
+        sums: dict = collections.defaultdict(lambda: None)
+        counts: dict = collections.Counter()
+        for v, lab in rows:
+            if v is None or lab is None:
+                continue
+            counts[lab] += 1
+            q = [math.floor(float(x) * self.SCALE) if x is not None else None
+                 for x in v]
+            if sums[lab] is None:
+                sums[lab] = [0] * len(q)
+            for i, x in enumerate(q):
+                if x is not None:
+                    sums[lab][i] += x
+        out = {}
+        for a in counts:
+            for b in counts:
+                if a > b:
+                    continue
+                sa = [float(x) for x in sums[a]]
+                sb = [float(x) for x in sums[b]]
+                dotf = 0.0
+                for x, y in zip(sa, sb):
+                    dotf = dotf + x * y
+                na = 0.0
+                for x in sa:
+                    na = na + x * x
+                nb = 0.0
+                for x in sb:
+                    nb = nb + x * x
+                den = math.sqrt(na) * math.sqrt(nb)
+                cos = None if den == 0.0 else round(dotf / den, 6)
+                out[(a, b)] = (counts[a], counts[b], cos)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        rng = random.Random(53)
+        rows = [([rng.gauss(0, 1) for _ in range(8)], rng.randrange(3))
+                for _ in range(120)]
+        rows = [([float(x) for x in v], lab) for v, lab in rows]
+        from ocr_spark.operators.similarity import source_centroid_similarity
+
+        # quantize through float32 storage exactly as Spark will read it
+        import numpy as np
+        stored = [([float(np.float32(x)) for x in v], lab) for v, lab in rows]
+        got = {
+            (r["label_a"], r["label_b"]):
+                (r["n_a"], r["n_b"], r["centroid_cos"])
+            for r in source_centroid_similarity(
+                self._make(spark, stored)
+            ).collect()
+        }
+        assert got == self._reference(stored)
+
+    def test_diagonal_is_one_and_upper_triangular(self, spark):
+        rng = random.Random(7)
+        rows = [([float(rng.gauss(0, 1)) for _ in range(6)], rng.randrange(4))
+                for _ in range(80)]
+        from ocr_spark.operators.similarity import source_centroid_similarity
+
+        out = source_centroid_similarity(self._make(spark, rows)).collect()
+        labels = {lab for _, lab in rows}
+        assert len(out) == len(labels) * (len(labels) + 1) // 2
+        for r in out:
+            assert r["label_a"] <= r["label_b"]
+            if r["label_a"] == r["label_b"]:
+                assert r["centroid_cos"] == 1.0
+
+    def test_zero_norm_centroid_is_null(self, spark):
+        # all-zero vectors quantize to the zero sum vector -> NULL cosine
+        rows = [([0.0, 0.0, 0.0], 0), ([0.0, 0.0, 0.0], 0),
+                ([1.0, 2.0, 3.0], 1)]
+        from ocr_spark.operators.similarity import source_centroid_similarity
+
+        out = {(r["label_a"], r["label_b"]): r["centroid_cos"]
+               for r in source_centroid_similarity(
+                   self._make(spark, rows)).collect()}
+        assert out[(0, 0)] is None
+        assert out[(0, 1)] is None
+        assert out[(1, 1)] == 1.0
+
+    def test_partitioning_invariance(self, spark):
+        rng = random.Random(99)
+        rows = [([float(rng.gauss(0, 1)) for _ in range(8)], rng.randrange(3))
+                for _ in range(150)]
+        from ocr_spark.operators.similarity import source_centroid_similarity
+
+        df = self._make(spark, rows)
+        base = sorted(
+            source_centroid_similarity(df).collect(),
+            key=lambda r: (r["label_a"], r["label_b"]),
+        )
+        for n in (1, 7):
+            rep = sorted(
+                source_centroid_similarity(df.repartition(n)).collect(),
+                key=lambda r: (r["label_a"], r["label_b"]),
+            )
+            assert [tuple(r) for r in rep] == [tuple(r) for r in base]
+
+    def test_null_rows_excluded(self, spark):
+        rows = [([1.0, 0.0], 0), (None, 0), ([0.5, 0.5], None),
+                ([0.0, 1.0], 1)]
+        from ocr_spark.operators.similarity import source_centroid_similarity
+
+        out = {(r["label_a"], r["label_b"]): (r["n_a"], r["n_b"])
+               for r in source_centroid_similarity(
+                   self._make(spark, rows)).collect()}
+        assert out[(0, 0)] == (1, 1)
+        assert out[(0, 1)] == (1, 1)
+
+    def test_scale_validation(self, spark):
+        from ocr_spark.operators.similarity import source_centroid_similarity
+
+        with pytest.raises(ValueError, match="scale"):
+            source_centroid_similarity(
+                self._make(spark, [([1.0], 0)]), scale=0
+            )

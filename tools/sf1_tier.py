@@ -41,6 +41,7 @@ DOC_QUERIES = [
     "temperature_resample", "length_quantiles",
     "incremental_near_dup", "leakage_safe_split", "collapse_repeats",
     "ngram_coverage", "cms_heavy_hitters", "lsh_recall",
+    "centroid_similarity", "ngram_novelty", "normalized_dedup",
     # extras (need --extended)
     "minhash_signatures", "simhash", "dedup_corpus", "fingerprints",
     "token_counts", "winnow_fingerprints", "doc_tf_embeddings", "doc_quality",
