@@ -4318,6 +4318,152 @@ FROM b GROUP BY norm_hash
 """
 
 
+# --- round-5 session-7 families: SFT example preparation (X56–X58) and
+# --- tool-run islands (X59), all over the shared transcript view ----------
+
+
+def _sft_context(spark, sf_dir):
+    """Multi-turn SFT context assembly (X56): one row per assistant turn
+    pairing the previous up-to-4 turns (rendered ``role: text``, joined by
+    newline) with the assistant text as the target — the (context,
+    completion) example construction every public instruction-tuning
+    corpus ships. One O(k)-frame window; head-of-conversation turns get
+    n_context=0 / context='' explicitly on both engines."""
+    from ocr_spark.operators.sft import assemble_context
+
+    return assemble_context(_transcript_view(spark, sf_dir), k=4)
+
+
+_SFT_CONTEXT_SQL = f"""
+WITH t AS ({_TRANSCRIPT_CTE}),
+x AS (
+  SELECT conv_id, turn_idx, role,
+         count(*) OVER w AS n_context,
+         list(role || ': ' || coalesce(text, '')) OVER w AS ctx,
+         coalesce(text, '') AS target
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, turn_idx, CAST(n_context AS BIGINT) AS n_context,
+       CASE WHEN n_context = 0 THEN ''
+            ELSE array_to_string(ctx, chr(10)) END AS context,
+       target
+FROM x WHERE role = 'assistant'
+"""
+
+
+def _sft_pairs(spark, sf_dir):
+    """Instruction/response pair mining (X57): every strict (user turn,
+    immediately-following assistant turn) adjacency becomes one example —
+    the single-turn SFT corpus. One O(1)-state lead window; non-adjacent
+    pairs are structural defects dialogue_audit counts, never examples."""
+    from ocr_spark.operators.sft import response_pairs
+
+    return response_pairs(_transcript_view(spark, sf_dir))
+
+
+_SFT_PAIRS_SQL = f"""
+WITH t AS ({_TRANSCRIPT_CTE}),
+x AS (
+  SELECT conv_id, turn_idx AS prompt_idx, role,
+         lead(role) OVER w AS next_role,
+         lead(turn_idx) OVER w AS response_idx,
+         coalesce(text, '') AS prompt,
+         coalesce(lead(text) OVER w, '') AS response
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, prompt_idx, response_idx, prompt, response
+FROM x WHERE role = 'user' AND next_role = 'assistant'
+"""
+
+
+def _conv_prefix_dedup(spark, sf_dir):
+    """Conversation-prefix dedup (X58): conversations opening with the
+    same canonicalized first-2 user turns (X55's normalized_text form,
+    '|'-joined — injective, the canonical alphabet excludes '|') are one
+    duplicate class; keeper = class min conv_id, no-user-turn
+    conversations carry NULL class columns (the X54 no-evidence rule)."""
+    from ocr_spark.operators.sft import conversation_prefix_dedup
+
+    return conversation_prefix_dedup(_transcript_view(spark, sf_dir), k=2)
+
+
+_CONV_PREFIX_DEDUP_SQL = f"""
+WITH t AS ({_TRANSCRIPT_CTE}),
+r AS (
+  SELECT conv_id, turn_idx,
+         role = 'user' AND
+         sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS UNBOUNDED PRECEDING) <= 2 AS is_pfx,
+         trim(regexp_replace(lower(coalesce(text, '')),
+                             '[^a-z0-9]+', ' ', 'g')) AS canon
+  FROM t
+),
+c AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN is_pfx THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_prefix_turns,
+         string_agg(CASE WHEN is_pfx THEN canon END, '|'
+                    ORDER BY turn_idx) AS joined
+  FROM r GROUP BY conv_id
+),
+k AS (
+  SELECT conv_id, n_turns, n_prefix_turns,
+         CASE WHEN n_prefix_turns > 0 THEN md5(joined) END AS prefix_key
+  FROM c
+)
+SELECT conv_id, n_turns, n_prefix_turns, prefix_key,
+       CASE WHEN prefix_key IS NOT NULL
+            THEN CAST(count(*) OVER (PARTITION BY prefix_key) AS BIGINT)
+       END AS class_size,
+       CASE WHEN prefix_key IS NOT NULL
+            THEN min(conv_id) OVER (PARTITION BY prefix_key)
+       END AS keeper,
+       CASE WHEN prefix_key IS NOT NULL
+            THEN min(conv_id) OVER (PARTITION BY prefix_key) = conv_id
+       END AS is_keeper
+FROM k
+"""
+
+
+def _tool_runs(spark, sf_dir):
+    """Tool-run island statistics (X59): per conversation, gaps-and-islands
+    over consecutive tool-role turns — run count, longest run, first run
+    start; the agent-loop-depth signal SFT curation caps on. One Exchange
+    end to end (window partitioning reused by both aggregates)."""
+    from ocr_spark.operators.dialogue import tool_run_stats
+
+    return tool_run_stats(_transcript_view(spark, sf_dir))
+
+
+_TOOL_RUNS_SQL = f"""
+WITH t AS ({_TRANSCRIPT_CTE}),
+x AS (
+  SELECT conv_id, turn_idx, role = 'tool' AS is_tool,
+         row_number() OVER w
+           - sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS UNBOUNDED PRECEDING) AS island
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+runs AS (
+  SELECT conv_id, island, CAST(count(*) AS BIGINT) AS len,
+         min(turn_idx) AS start
+  FROM x WHERE is_tool GROUP BY conv_id, island
+)
+SELECT conv_id, CAST(sum(len) AS BIGINT) AS n_tool_turns,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(len) AS BIGINT) AS longest_run,
+       min(start) AS first_run_start
+FROM runs GROUP BY conv_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2 plus the
     training-data-pipeline operators. Keys ↔ oracle_sql keys.
@@ -4630,6 +4776,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _ngram_novelty,
         # round-5 session-7 normalized exact dedup (X55)
         "normalized_dedup": _normalized_dedup,
+        # round-5 session-8 SFT example preparation over the transcript
+        # view (X56–X58) and tool-run islands (X59)
+        "sft_context": _sft_context,
+        "sft_pairs": _sft_pairs,
+        "conv_prefix_dedup": _conv_prefix_dedup,
+        "tool_runs": _tool_runs,
     }
 
 
@@ -4692,6 +4844,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "centroid_similarity": _CENTROID_SIM_SQL,
         "ngram_novelty": _ngram_novelty_sql(),
         "normalized_dedup": _NORMALIZED_DEDUP_SQL,
+        "sft_context": _SFT_CONTEXT_SQL,
+        "sft_pairs": _SFT_PAIRS_SQL,
+        "conv_prefix_dedup": _CONV_PREFIX_DEDUP_SQL,
+        "tool_runs": _TOOL_RUNS_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

@@ -94,6 +94,13 @@ HEADLINE = [
     "ngram_coverage",
     "cms_heavy_hitters",
     "lsh_recall",
+    "centroid_similarity",
+    "ngram_novelty",
+    "normalized_dedup",
+    "sft_context",
+    "sft_pairs",
+    "conv_prefix_dedup",
+    "tool_runs",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

@@ -127,3 +127,61 @@ def dialogue_audit(
         & (F.col("n_role_repeats") == 0)
         & (F.col("n_orphan_tool") == 0),
     )
+
+
+def tool_run_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_role: str = "tool",
+) -> DataFrame:
+    """Gaps-and-islands statistics over consecutive ``tool``-role runs
+    (SURVEY §2.8 X59): per conversation, how long do uninterrupted
+    tool-result chains get?
+
+    Agent transcripts interleave assistant turns with runs of tool
+    results; run length is the standard agent-loop depth signal — long
+    runs mark multi-call tool loops (retry storms, search fan-outs) that
+    SFT curation typically caps or down-samples, the conversation analog
+    of X13's Gopher repetition signals. Returns one row per conversation
+    that has at least one tool turn::
+
+        (conv_id, n_tool_turns, n_runs, longest_run, first_run_start)
+
+    Construction is the classic two-row-number island id: within a
+    conversation ordered by ``turn_idx``, ``row_number()`` over ALL turns
+    minus the running count of tool turns is constant exactly on each
+    maximal consecutive tool run (both counters advance together inside a
+    run; only the global one advances outside), so grouping on it splits
+    runs with no self-join and no per-conversation buffering.
+
+    Scale shape at 10^12 turns: ONE Exchange end to end — the window
+    hash-partitions on ``conv_id``, and both downstream aggregates
+    (``(conv_id, island)`` then ``conv_id``) cluster on subsets of keys
+    already co-located by that partitioning, so Catalyst plans no further
+    shuffle (plan-pinned in tests). Per-turn window state is O(1); a
+    10^5-turn conversation never materializes in memory.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    is_tool = (F.col(role_col) == tool_role).cast("long")
+    turns = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("_idx"),
+        (F.col(role_col) == tool_role).alias("_is_tool"),
+        (F.row_number().over(w) - F.sum(is_tool).over(w)).alias("_island"),
+    )
+    runs = (
+        turns.filter(F.col("_is_tool"))
+        .groupBy("conv_id", "_island")
+        .agg(
+            F.count(F.lit(1)).alias("_len"),
+            F.min("_idx").alias("_start"),
+        )
+    )
+    return runs.groupBy("conv_id").agg(
+        F.sum("_len").alias("n_tool_turns"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("_len").alias("longest_run"),
+        F.min("_start").alias("first_run_start"),
+    )

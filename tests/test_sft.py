@@ -1,0 +1,248 @@
+"""SFT example-preparation tests (SURVEY §2.8 X56–X59).
+
+Hand-computable micro-fixtures pin every construction against an inline
+Python reference; edge cases pin the NULL/empty contracts (head-of-
+conversation empty context, NULL-text prefix segments, zero-user-turn
+conversations); partitioning-invariance tests pin the repo's determinism
+rule; plan tests pin the shuffle shapes (a single Window Exchange for the
+turn-grain operators, subset-key aggregate reuse for the island stats).
+The sf0.01/sf0.1 extended gate (``check_oracles --extended``:
+``sft_context`` / ``sft_pairs`` / ``conv_prefix_dedup`` / ``tool_runs``)
+pins the exact DuckDB hashes on real data.
+"""
+from __future__ import annotations
+
+import datetime as dt
+import io
+import contextlib
+
+import pytest
+
+from ocr_spark.operators.dialogue import tool_run_stats
+from ocr_spark.operators.sft import (
+    assemble_context,
+    conversation_prefix_dedup,
+    response_pairs,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _turn(conv, idx, role, text="hello", tool=None):
+    return (conv, idx, role, text, tool, T0 + dt.timedelta(seconds=idx))
+
+
+ROWS = [
+    # c1: the canonical valid shape
+    _turn("c1", 0, "user", "Hi there!"),
+    _turn("c1", 1, "assistant", "Hello.", tool="search"),
+    _turn("c1", 2, "tool", "result A"),
+    _turn("c1", 3, "assistant", "Answer."),
+    # c2: assistant-first (head-of-conv empty context); NULL user text;
+    # same canonical first user prompt as c1 but an extra NULL second one
+    _turn("c2", 0, "assistant", "opening"),
+    _turn("c2", 1, "user", "hi, THERE"),
+    _turn("c2", 2, "user", None),
+    _turn("c2", 3, "assistant", "resp"),
+    # c3: two user turns then a 3-long tool run
+    _turn("c3", 0, "user", "Hi there"),
+    _turn("c3", 1, "user", "second q"),
+    _turn("c3", 2, "tool", "r1"),
+    _turn("c3", 3, "tool", "r2"),
+    _turn("c3", 4, "tool", "r3"),
+    _turn("c3", 5, "assistant", "done"),
+    # c4: no user turns at all; two separated tool runs
+    _turn("c4", 0, "tool", "orphan"),
+    _turn("c4", 1, "system", "sys"),
+    _turn("c4", 2, "tool", "t2"),
+    # c5: byte-different but canonically identical prefix to c3
+    _turn("c5", 0, "user", "  HI//there  "),
+    _turn("c5", 1, "user", "SECOND?? q!!"),
+    _turn("c5", 2, "assistant", "other"),
+]
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return spark.createDataFrame(ROWS, COLS)
+
+
+def _n_exchanges(df) -> int:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    # formatted mode prints each operator once in the tree and once in
+    # the details section
+    return buf.getvalue().count("Exchange") // 2
+
+
+# --- X56 assemble_context -------------------------------------------------
+
+
+def test_context_rows_and_rendering(transcripts):
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in assemble_context(transcripts, k=2).collect()
+    }
+    # one row per assistant turn
+    assert set(out) == {
+        ("c1", 1),
+        ("c1", 3),
+        ("c2", 0),
+        ("c2", 3),
+        ("c3", 5),
+        ("c5", 2),
+    }
+    assert out[("c1", 1)]["context"] == "user: Hi there!"
+    assert out[("c1", 1)]["n_context"] == 1
+    assert out[("c1", 1)]["target"] == "Hello."
+    # frame is the k=2 turns immediately preceding, in turn order
+    assert out[("c1", 3)]["context"] == "assistant: Hello.\ntool: result A"
+    # head-of-conversation: explicit empty context on both engines
+    assert out[("c2", 0)]["n_context"] == 0
+    assert out[("c2", 0)]["context"] == ""
+    # NULL text renders as an empty segment, still occupying a slot
+    assert out[("c2", 3)]["context"] == "user: hi, THERE\nuser: "
+    # only the last k turns enter, not the whole conversation
+    assert out[("c3", 5)]["context"] == "tool: r2\ntool: r3"
+
+
+def test_context_k_validation(transcripts):
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        assemble_context(transcripts, k=0)
+
+
+def test_context_single_exchange(transcripts):
+    assert _n_exchanges(assemble_context(transcripts, k=4)) == 1
+
+
+# --- X57 response_pairs ---------------------------------------------------
+
+
+def test_pairs_strict_adjacency(transcripts):
+    got = {
+        (r["conv_id"], r["prompt_idx"]): r
+        for r in response_pairs(transcripts).collect()
+    }
+    # c1: user@0 -> assistant@1. c2: user@2(NULL) -> assistant@3.
+    # c3: user@1 is followed by a tool turn — NOT a pair; c4 has none;
+    # c5: user@1 -> assistant@2.
+    assert set(got) == {("c1", 0), ("c2", 2), ("c5", 1)}
+    assert got[("c1", 0)]["response_idx"] == 1
+    assert got[("c1", 0)]["prompt"] == "Hi there!"
+    assert got[("c1", 0)]["response"] == "Hello."
+    # NULL prompt text becomes ''
+    assert got[("c2", 2)]["prompt"] == ""
+    assert got[("c2", 2)]["response"] == "resp"
+
+
+def test_pairs_single_exchange(transcripts):
+    assert _n_exchanges(response_pairs(transcripts)) == 1
+
+
+# --- X58 conversation_prefix_dedup ---------------------------------------
+
+
+def test_prefix_classes_and_keeper(transcripts):
+    out = {
+        r["conv_id"]: r
+        for r in conversation_prefix_dedup(transcripts, k=2).collect()
+    }
+    assert set(out) == {"c1", "c2", "c3", "c4", "c5"}
+    # c3 and c5 are byte-different but canonically identical
+    # ("hi there" | "second q" — punctuation collapsed, case folded)
+    assert out["c3"]["prefix_key"] == out["c5"]["prefix_key"]
+    assert out["c3"]["class_size"] == 2 and out["c5"]["class_size"] == 2
+    assert out["c3"]["keeper"] == "c3" and out["c5"]["keeper"] == "c3"
+    assert out["c3"]["is_keeper"] is True
+    assert out["c5"]["is_keeper"] is False
+    # c1 ("hi there", 1 prefix turn) must NOT collide with c2
+    # ("hi there" + NULL second user turn → "hi there|"): the NULL
+    # segment contributes to the key
+    assert out["c1"]["n_prefix_turns"] == 1
+    assert out["c2"]["n_prefix_turns"] == 2
+    assert out["c1"]["prefix_key"] != out["c2"]["prefix_key"]
+    assert out["c1"]["class_size"] == 1 and out["c1"]["is_keeper"] is True
+    # no user turns → no evidence → NULL key and NULL class columns
+    c4 = out["c4"]
+    assert c4["n_prefix_turns"] == 0
+    assert c4["prefix_key"] is None
+    assert c4["class_size"] is None
+    assert c4["keeper"] is None
+    assert c4["is_keeper"] is None
+    # n_turns counts ALL turns, not just the prefix
+    assert out["c1"]["n_turns"] == 4 and out["c4"]["n_turns"] == 3
+
+
+def test_prefix_k_widens_classes(transcripts):
+    # at k=1 c1, c2, c3, c5 all share the canonical first prompt
+    # "hi there" — one class of 4
+    out = {
+        r["conv_id"]: r
+        for r in conversation_prefix_dedup(transcripts, k=1).collect()
+    }
+    keys = {out[c]["prefix_key"] for c in ("c1", "c2", "c3", "c5")}
+    assert len(keys) == 1
+    assert out["c1"]["class_size"] == 4
+    assert out["c1"]["keeper"] == "c1"
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        conversation_prefix_dedup(transcripts, k=0)
+
+
+def test_prefix_partitioning_invariance(spark, transcripts):
+    a = {
+        tuple(r)
+        for r in conversation_prefix_dedup(transcripts, k=2).collect()
+    }
+    b = {
+        tuple(r)
+        for r in conversation_prefix_dedup(
+            transcripts.repartition(7, "turn_idx"), k=2
+        ).collect()
+    }
+    assert a == b
+
+
+def test_prefix_two_exchanges(transcripts):
+    # one turn-grain Exchange (window + reused groupBy) + one over the
+    # conversation-grain class window
+    assert _n_exchanges(conversation_prefix_dedup(transcripts, k=2)) == 2
+
+
+# --- X59 tool_run_stats ---------------------------------------------------
+
+
+def test_tool_runs(transcripts):
+    out = {r["conv_id"]: r for r in tool_run_stats(transcripts).collect()}
+    # convs with zero tool turns don't appear
+    assert set(out) == {"c1", "c3", "c4"}
+    c1 = out["c1"]
+    assert (c1["n_tool_turns"], c1["n_runs"], c1["longest_run"]) == (1, 1, 1)
+    assert c1["first_run_start"] == 2
+    c3 = out["c3"]
+    assert (c3["n_tool_turns"], c3["n_runs"], c3["longest_run"]) == (3, 1, 3)
+    assert c3["first_run_start"] == 2
+    # c4: two runs separated by the system turn — islands split correctly
+    c4 = out["c4"]
+    assert (c4["n_tool_turns"], c4["n_runs"], c4["longest_run"]) == (2, 2, 1)
+    assert c4["first_run_start"] == 0
+
+
+def test_tool_runs_partitioning_invariance(transcripts):
+    a = {tuple(r) for r in tool_run_stats(transcripts).collect()}
+    b = {
+        tuple(r)
+        for r in tool_run_stats(
+            transcripts.repartition(5, "text")
+        ).collect()
+    }
+    assert a == b
+
+
+def test_tool_runs_single_exchange(transcripts):
+    # the window's hash partitioning on conv_id is reused by BOTH
+    # downstream aggregates ((conv_id, island) and conv_id — subset-key
+    # clustering), so the whole operator is one Exchange
+    assert _n_exchanges(tool_run_stats(transcripts)) == 1
