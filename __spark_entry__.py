@@ -4318,7 +4318,7 @@ FROM b GROUP BY norm_hash
 """
 
 
-# --- round-5 session-7 families: SFT example preparation (X56–X58) and
+# --- round-5 session-8 families: SFT example preparation (X56–X58) and
 # --- tool-run islands (X59), all over the shared transcript view ----------
 
 
@@ -4461,6 +4461,70 @@ SELECT conv_id, CAST(sum(len) AS BIGINT) AS n_tool_turns,
        CAST(max(len) AS BIGINT) AS longest_run,
        min(start) AS first_run_start
 FROM runs GROUP BY conv_id
+"""
+
+
+# --- round-5 session-8 statistical-selection families: robust MAD
+# --- outliers (X60) and percentile curriculum bins (X61) ------------------
+
+
+def _mad_outliers(spark, sf_dir):
+    """Robust per-source outlier scoring (X60): Iglewicz–Hoaglin modified
+    z-score 0.6745·(x − median)/MAD over document lengths, |z| > 3.5
+    flag; median/MAD have 50% breakdown where daily_anomalies' mean/std
+    have 0%. Two source-cardinality percentile aggregates broadcast onto
+    a column-pruned scan — the corpus never shuffles; MAD = 0 groups
+    yield NULL z (the X54 no-evidence rule)."""
+    from ocr_spark.operators.textstats import mad_outliers
+
+    return mad_outliers(_t(spark, sf_dir, "documents"))
+
+
+_MAD_OUTLIERS_SQL = """
+WITH m AS (
+  SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+  FROM documents GROUP BY source
+),
+d AS (
+  SELECT doc_id, documents.source, CAST(n_chars AS DOUBLE) AS value, med
+  FROM documents JOIN m USING (source)
+),
+md AS (
+  SELECT source, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM d GROUP BY source
+)
+SELECT doc_id, d.source, value AS n_chars,
+       ROUND(med, 6) AS med, ROUND(mad, 6) AS mad,
+       CASE WHEN mad <> 0
+            THEN floor(0.6745 * (value - med) / mad * 1000000.0)
+                 / 1000000.0 END AS robust_z,
+       CASE WHEN mad <> 0
+            THEN abs(0.6745 * (value - med) / mad) > 3.5 END AS is_outlier
+FROM d JOIN md USING (source)
+"""
+
+
+def _curriculum_bins(spark, sf_dir):
+    """Percentile-threshold curriculum assignment (X61): every document
+    bucketed into one of 8 length tiers by exact interpolated corpus
+    quantiles — the Bengio-style short→long curriculum as a narrow
+    threshold fold (n_bins−1 broadcast literals), NOT a single-task
+    global ntile window."""
+    from ocr_spark.operators.curation import curriculum_bins
+
+    return curriculum_bins(_t(spark, sf_dir, "documents"), n_bins=8)
+
+
+_CURRICULUM_BINS_SQL = """
+WITH t AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+                       [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS th
+  FROM documents
+)
+SELECT doc_id AS id, n_chars AS value,
+       CAST(len(list_filter(th, x -> CAST(n_chars AS DOUBLE) > x))
+            AS INTEGER) AS bin
+FROM documents, t
 """
 
 
@@ -4782,6 +4846,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": _sft_pairs,
         "conv_prefix_dedup": _conv_prefix_dedup,
         "tool_runs": _tool_runs,
+        # round-5 session-8 statistical selection (X60–X61)
+        "mad_outliers": _mad_outliers,
+        "curriculum_bins": _curriculum_bins,
     }
 
 
@@ -4848,6 +4915,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "sft_pairs": _SFT_PAIRS_SQL,
         "conv_prefix_dedup": _CONV_PREFIX_DEDUP_SQL,
         "tool_runs": _TOOL_RUNS_SQL,
+        "mad_outliers": _MAD_OUTLIERS_SQL,
+        "curriculum_bins": _CURRICULUM_BINS_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

@@ -101,6 +101,8 @@ HEADLINE = [
     "sft_pairs",
     "conv_prefix_dedup",
     "tool_runs",
+    "mad_outliers",
+    "curriculum_bins",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

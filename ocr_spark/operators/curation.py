@@ -1001,3 +1001,65 @@ def collapse_repeats(
         F.size(ps).cast("int").alias("n_parts"),
         (F.size(ps) - F.size(kept)).cast("int").alias("n_collapsed"),
     )
+
+
+def curriculum_bins(
+    df: DataFrame,
+    n_bins: int = 8,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Percentile-threshold curriculum assignment (SURVEY §2.8 X61):
+    bucket every document into one of ``n_bins`` difficulty tiers by
+    exact corpus quantiles of ``value_col`` — the length-ordered
+    (short → long) curriculum of Bengio et al. 2009's curriculum-learning
+    recipe, precomputed as a column so a downstream epoch scheduler reads
+    tiers off a plain filter instead of sorting the corpus per epoch.
+
+    Returns ``(id, value, bin)`` with ``bin ∈ [0, n_bins)``; bin b holds
+    values in ``(t_b-1, t_b]`` where ``t_i`` is the exact interpolated
+    ``i/n_bins`` quantile. On heavily tied value distributions adjacent
+    thresholds coincide and the bins between them are empty — quantile
+    thresholds, not forced equal-size ntiles, because a global ``ntile``
+    is a single-task total-order window (the one shape this engine
+    refuses; see the 100-TB note).
+
+    Determinism: thresholds are the exact linear-interpolated quantile
+    family (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` at rank
+    ``q·(n−1)``) at exactly-representable fractions ``i/n_bins``;
+    assignment is integer-vs-double strict comparison against those
+    literals — no arithmetic whose rounding could differ.
+
+    Scale shape at 100 TB: ONE exact-percentile aggregate over a
+    column-pruned 2-column scan produces ``n_bins − 1`` doubles — bounded
+    metadata, collected like the IVF centroid literals — and assignment
+    is a NARROW per-row fold over the threshold array literal: zero
+    shuffles, no global sort, no window. (A global ``ntile(B)`` would
+    funnel 10^12 rows through one ordered window partition; quantile
+    thresholds buy the same curriculum at scan cost.)
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    v = F.col(value_col).cast("double")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    row = df.select(
+        F.percentile(v, F.array(*[F.lit(q) for q in fracs])).alias("t")
+    ).collect()[0]
+    thresholds = list(row["t"] or [])
+    if not thresholds:  # empty input: no quantiles, everything bin 0
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(value_col).alias("value"),
+            F.lit(0).alias("bin"),
+        )
+    ts = F.array(*[F.lit(float(t)) for t in thresholds])
+    bin_expr = F.aggregate(
+        ts,
+        F.lit(0),
+        lambda acc, t: acc + F.when(v > t, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(value_col).alias("value"),
+        bin_expr.cast("int").alias("bin"),
+    )

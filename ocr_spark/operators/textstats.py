@@ -1144,3 +1144,80 @@ def cms_heavy_hitters(
             4,
         ).alias("rel_err"),
     ).orderBy(F.col("exact_cnt").desc(), F.col("term").asc())
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier scoring via the modified z-score
+    (SURVEY §2.8 X60): Iglewicz & Hoaglin's ``0.6745·(x − median) / MAD``
+    with the standard |z| > 3.5 flag — the outlier screen that, unlike
+    ``behavior.daily_anomalies``' mean/std z, a handful of extreme
+    documents cannot drag toward themselves (median and MAD have a 50%
+    breakdown point; mean/std have 0%).
+
+    Returns one row per input row::
+
+        (id, group, value, med, mad, robust_z, is_outlier)
+
+    ``med``/``mad`` are rounded to 6 dp for display; ``robust_z`` and the
+    flag are computed from the UNROUNDED statistics, in one fixed
+    multiply-subtract-divide whose IEEE result is engine-identical.
+    ``robust_z`` ships 6-dp FLOOR-truncated, not round()ed: the nice
+    decimal operands land z exactly on decimal halfway points
+    (…9375 → …94?), where Spark rounds the shortest decimal repr and
+    DuckDB rounds the binary value — floor of the identical double is
+    the engine-independent choice.
+    A group with ``MAD = 0`` (over half its values identical) yields NULL
+    z and flag — no spread evidence is never reported as "no outliers"
+    (the X54 no-evidence rule).
+
+    Determinism: medians are the exact linear-interpolated quantile
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both at rank
+    ``q·(n−1)``); interpolation at q = 0.5 averages two values, exact in
+    binary floating point.
+
+    Scale shape at 100 TB: the corpus never shuffles — two
+    group-cardinality aggregates (exact percentile state is O(group rows)
+    on the agg side but groups are sources, so the agg frames are tiny)
+    each broadcast back onto a column-pruned scan of
+    ``(id, group, value)``; the text column never loads. Cost = two
+    narrow passes over a 3-column projection, zero wide exchanges.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med")
+    )
+    dev = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        v.alias("value"),
+    ).join(F.broadcast(med.withColumnRenamed(group_col, "grp")), "grp")
+    mad = dev.groupBy("grp").agg(
+        F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5))
+        .alias("_mad")
+    )
+    scored = dev.join(F.broadcast(mad), "grp")
+    z = (
+        F.lit(0.6745)
+        * (F.col("value") - F.col("_med"))
+        / F.col("_mad")
+    )
+    has_spread = F.col("_mad") != 0.0
+    return scored.select(
+        F.col("id").alias(id_col),
+        F.col("grp").alias(group_col),
+        F.col("value").alias(value_col),
+        F.round(F.col("_med"), 6).alias("med"),
+        F.round(F.col("_mad"), 6).alias("mad"),
+        F.when(
+            has_spread, F.floor(z * F.lit(1000000.0)) / F.lit(1000000.0)
+        ).alias("robust_z"),
+        F.when(has_spread, F.abs(z) > F.lit(threshold)).alias(
+            "is_outlier"
+        ),
+    )
