@@ -4464,6 +4464,107 @@ FROM runs GROUP BY conv_id
 """
 
 
+# --- round-5 session-8 batch 3: context-budget truncation (X62),
+# --- role-run merge repair (X63), int8 embedding quantization (X64) -------
+
+
+def _truncate_context(spark, sf_dir):
+    """Context-window left-truncation (X62): per turn, the running
+    whitespace-token total from the conversation's END and a kept flag —
+    oldest turns drop first, the final turn always survives (a truncation
+    that deletes the training target is worse than an over-long example).
+    One descending window, O(1) state."""
+    from ocr_spark.operators.sft import truncate_to_budget
+
+    return truncate_to_budget(_transcript_view(spark, sf_dir), budget=24)
+
+
+_TRUNCATE_CONTEXT_SQL = f"""
+WITH t AS ({_TRANSCRIPT_CTE}),
+x AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+              AS BIGINT) AS n_tok
+  FROM t
+)
+SELECT conv_id, turn_idx, n_tok,
+       sum(n_tok) OVER w AS cum_from_end,
+       (sum(n_tok) OVER w <= 24 OR row_number() OVER w2 = 1) AS kept
+FROM x
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx DESC
+             ROWS UNBOUNDED PRECEDING),
+       w2 AS (PARTITION BY conv_id ORDER BY turn_idx DESC)
+"""
+
+
+def _merge_role_runs(spark, sf_dir):
+    """Role-run merge repair (X63): consecutive same-role turns — the
+    n_role_repeats defect X49's audit counts — collapse to one turn
+    keeping the run's first turn_idx, texts joined in order, n_merged
+    auditable. Change-point islands; one Exchange end to end."""
+    from ocr_spark.operators.dialogue import merge_role_runs
+
+    return merge_role_runs(_transcript_view(spark, sf_dir))
+
+
+_MERGE_ROLE_RUNS_SQL = f"""
+WITH t AS ({_TRANSCRIPT_CTE}),
+x AS (
+  SELECT conv_id, turn_idx, role, coalesce(text, '') AS txt,
+         sum(CASE WHEN prev_role IS NULL OR prev_role <> role
+                  THEN 1 ELSE 0 END) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT conv_id, turn_idx, role, text,
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_role
+    FROM t
+  )
+)
+SELECT conv_id, min(turn_idx) AS turn_idx, min(role) AS role,
+       string_agg(txt, chr(10) ORDER BY turn_idx) AS text,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM x GROUP BY conv_id, island
+"""
+
+
+def _quantize_embeddings(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (X64): scale = max|x|/127,
+    q = floor(x·127/max|x| + 0.5) — floor-half-up, not round(), per the
+    X60 engine-rounding lesson; zero vectors quantize to zeros. Narrow,
+    zero-shuffle; the 4× compression that cheapens every downstream
+    embedding shuffle/broadcast."""
+    from ocr_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+_QUANTIZE_EMB_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, x,
+         list_max(list_transform(x, v -> abs(v))) AS max_abs
+  FROM e
+)
+SELECT vec_id AS id,
+       CASE WHEN x IS NOT NULL THEN len(x) END AS dim,
+       CASE WHEN x IS NOT NULL THEN max_abs END AS max_abs,
+       CASE WHEN x IS NULL THEN NULL
+            WHEN max_abs = 0
+            THEN list_transform(x, v -> 0)
+            ELSE list_transform(
+                   x, v -> CAST(floor(v * 127.0 / max_abs + 0.5)
+                                AS INTEGER))
+       END AS qvec
+FROM m
+"""
+
+
 # --- round-5 session-8 statistical-selection families: robust MAD
 # --- outliers (X60) and percentile curriculum bins (X61) ------------------
 
@@ -4849,6 +4950,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 session-8 statistical selection (X60–X61)
         "mad_outliers": _mad_outliers,
         "curriculum_bins": _curriculum_bins,
+        # round-5 session-8 batch 3 (X62–X64)
+        "truncate_context": _truncate_context,
+        "merge_role_runs": _merge_role_runs,
+        "quantize_embeddings": _quantize_embeddings,
     }
 
 
@@ -4917,6 +5022,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "tool_runs": _TOOL_RUNS_SQL,
         "mad_outliers": _MAD_OUTLIERS_SQL,
         "curriculum_bins": _CURRICULUM_BINS_SQL,
+        "truncate_context": _TRUNCATE_CONTEXT_SQL,
+        "merge_role_runs": _MERGE_ROLE_RUNS_SQL,
+        "quantize_embeddings": _QUANTIZE_EMB_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

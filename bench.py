@@ -103,6 +103,9 @@ HEADLINE = [
     "tool_runs",
     "mad_outliers",
     "curriculum_bins",
+    "truncate_context",
+    "merge_role_runs",
+    "quantize_embeddings",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

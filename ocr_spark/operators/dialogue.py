@@ -185,3 +185,74 @@ def tool_run_stats(
         F.max("_len").alias("longest_run"),
         F.min("_start").alias("first_run_start"),
     )
+
+
+def merge_role_runs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Repair of the role-repeat defect (SURVEY §2.8 X63): consecutive
+    turns carrying the SAME role merge into one turn.
+
+    :func:`dialogue_audit` counts adjacent same-role turns
+    (``n_role_repeats``) as a structural defect — usually an upstream
+    message split (streaming chunks, length-limited inserts). This
+    operator is the repair: each maximal same-role run collapses to a
+    single turn keeping the run's first ``turn_idx``, with texts joined
+    in turn order by ``sep`` (NULLs as empty segments — slot-preserving,
+    the X56 rendering rule) and an ``n_merged`` counter so the repair is
+    auditable. Already-valid conversations pass through byte-identical
+    with ``n_merged = 1`` everywhere.
+
+    Construction: change-point islands — a run boundary is
+    ``role != lag(role)`` (or the first turn); the running boundary
+    count is constant exactly on each run. Unlike X59's two-row-number
+    form this handles EVERY role symmetrically in one pass.
+
+    Scale shape at 10^12 turns: one window over ``(conv_id, turn_idx)``
+    with O(1) lag/sum state, then a ``groupBy(conv_id, island)`` that
+    reuses the window's hash partitioning (subset-key clustering) —
+    ONE Exchange end to end, plan-pinned. The ordered in-run reassembly
+    is bounded by the run length, not the conversation (the
+    ``extraction.assemble_docs`` segmenting-guard argument applies if a
+    pathological single-role conversation ever exceeds task memory).
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    boundary = (
+        F.lag(role_col).over(w).isNull()
+        | (F.lag(role_col).over(w) != F.col(role_col))
+    ).cast("long")
+    turns = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("_idx"),
+        F.col(role_col).alias("_role"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+        F.sum(boundary).over(w).alias("_island"),
+    )
+    return (
+        turns.groupBy("conv_id", "_island")
+        .agg(
+            F.min("_idx").alias("turn_idx"),
+            F.first("_role").alias("role"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_idx").alias("i"),
+                                F.col("_t").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+        .select("conv_id", "turn_idx", "role", "text", "n_merged")
+    )

@@ -258,3 +258,68 @@ def conversation_prefix_dedup(
         F.when(has_key, F.min("conv_id").over(w_cls) == F.col("conv_id"))
         .alias("is_keeper"),
     )
+
+
+def truncate_to_budget(
+    df: DataFrame,
+    budget: int = 2048,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window left-truncation (SURVEY §2.8 X62): mark the suffix
+    of each conversation that fits a whitespace-token budget.
+
+    SFT packing truncates from the LEFT (oldest turns drop first; the
+    most recent context and the target survive — the rule every public
+    chat fine-tune recipe uses). Per turn::
+
+        (conv_id, turn_idx, n_tok, cum_from_end, kept)
+
+    ``cum_from_end`` is the running token total from the conversation's
+    END back to this turn; ``kept`` is true when that suffix still fits
+    the budget — with one carve-out: the FINAL turn is always kept even
+    if it alone busts the budget (a truncation that deletes the training
+    target produces an empty example, strictly worse than an over-long
+    one; flagged by its ``cum_from_end > budget``).
+
+    Tokens are whitespace runs (``\\S+``) — the deterministic
+    tokenizer-agnostic budget proxy; exact BPE budgeting composes by
+    swapping ``n_tok`` for X5's counts upstream.
+
+    Scale shape at 10^12 turns: ONE window over ``(conv_id, turn_idx
+    DESC)`` with O(1) running-sum/row-number state — the same
+    single-Exchange class as the rest of the transcript family; no
+    conversation ever materializes.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(idx_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_tok = F.size(
+        F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+"), F.lit(0)
+        )
+    ).cast("long")
+    out = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        n_tok.alias("n_tok"),
+        F.sum(n_tok).over(w).alias("cum_from_end"),
+        F.row_number()
+        .over(Window.partitionBy(conv_col).orderBy(F.col(idx_col).desc()))
+        .alias("_rn_end"),
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "n_tok",
+        "cum_from_end",
+        (
+            (F.col("cum_from_end") <= F.lit(budget))
+            | (F.col("_rn_end") == 1)
+        ).alias("kept"),
+    )

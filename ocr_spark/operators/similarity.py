@@ -1616,3 +1616,59 @@ def source_centroid_similarity(
             6,
         ).alias("centroid_cos"),
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (SURVEY §2.8 X64): the
+    standard 4× storage/bandwidth compression applied to an embedding
+    corpus before it is shipped to an ANN serving tier (FAISS
+    ScalarQuantizer QT_8bit / the int8 path every public vector store
+    exposes).
+
+    Per vector: ``scale = max|x| / 127``; ``q_i = floor(x_i·127/max|x| +
+    0.5)`` ∈ [−127, 127]. Returns ``(id, dim, max_abs, qvec)``; the
+    consumer dequantizes as ``q_i · max_abs / 127``.
+
+    Determinism: the quantizer is ``floor(x + 0.5)`` (round-half-up
+    toward +∞), NOT ``round()`` — synthetic/integer-derived embeddings
+    land exactly on .5 boundaries where Spark's shortest-decimal HALF_UP
+    and DuckDB's binary ``round()`` disagree by one ulp (the X60
+    lesson); ``floor`` of the identical IEEE double is engine-exact.
+    ``max|x|`` is order-independent (a max fold), and each element's
+    ``x·127/max`` is one fixed multiply-divide — no accumulation, so no
+    fold-order hazard anywhere. The all-zero vector quantizes to zeros
+    with ``max_abs = 0`` (no division is evaluated for it); NULL vectors
+    pass through as NULL with ``dim`` NULL.
+
+    Scale shape at 100 TB: completely NARROW — one ``transform`` over
+    the vector column, zero Exchange/Window/Join (plan-pinned); fuses
+    into whatever scan reads the embeddings, and the int8 output is the
+    thing that makes the downstream shuffle/broadcast 4× cheaper.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    q = F.when(F.col(vec_col).isNull(), F.lit(None)).otherwise(
+        F.when(
+            max_abs == 0.0,
+            F.transform(x, lambda v: F.lit(0)),
+        ).otherwise(
+            F.transform(
+                x,
+                lambda v: F.floor(v * F.lit(127.0) / max_abs + F.lit(0.5))
+                .cast("int"),
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        # explicit NULL guard rather than relying on size(NULL) = NULL
+        # (ANSI) vs -1 (legacy sizeOfNull) semantics
+        F.when(F.col(vec_col).isNotNull(), F.size(F.col(vec_col)))
+        .alias("dim"),
+        F.when(F.col(vec_col).isNotNull(), max_abs).alias("max_abs"),
+        q.alias("qvec"),
+    )

@@ -29,6 +29,11 @@ T0 = dt.datetime(2024, 1, 1)
 
 COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
 
 def _turn(conv, idx, role, text="hello", tool=None):
     return (conv, idx, role, text, tool, T0 + dt.timedelta(seconds=idx))
@@ -246,3 +251,113 @@ def test_tool_runs_single_exchange(transcripts):
     # downstream aggregates ((conv_id, island) and conv_id — subset-key
     # clustering), so the whole operator is one Exchange
     assert _n_exchanges(tool_run_stats(transcripts)) == 1
+
+
+# --- X62 truncate_to_budget ----------------------------------------------
+
+
+def test_truncate_keeps_suffix_within_budget(spark):
+    from ocr_spark.operators.sft import truncate_to_budget
+
+    rows = [
+        # texts with 4, 3, 2, 1 whitespace tokens (oldest -> newest)
+        _turn("c", 0, "user", "a b c d"),
+        _turn("c", 1, "assistant", "e f g"),
+        _turn("c", 2, "user", "h i"),
+        _turn("c", 3, "assistant", "j"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        r["turn_idx"]: r for r in truncate_to_budget(df, budget=6).collect()
+    }
+    # from the end: cum = 1, 3, 6, 10
+    assert [out[i]["cum_from_end"] for i in (3, 2, 1, 0)] == [1, 3, 6, 10]
+    assert [out[i]["kept"] for i in (3, 2, 1, 0)] == [
+        True,
+        True,
+        True,
+        False,
+    ]
+    assert out[0]["n_tok"] == 4
+
+
+def test_truncate_final_turn_always_kept(spark):
+    from ocr_spark.operators.sft import truncate_to_budget
+
+    rows = [
+        _turn("c", 0, "user", "one two"),
+        _turn("c", 1, "assistant", " ".join(f"w{i}" for i in range(50))),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        r["turn_idx"]: r for r in truncate_to_budget(df, budget=5).collect()
+    }
+    # the final turn busts the budget alone but survives, flagged by cum
+    assert out[1]["kept"] is True and out[1]["cum_from_end"] == 50
+    assert out[0]["kept"] is False
+    # NULL/empty texts count zero tokens
+    df2 = spark.createDataFrame([_turn("c", 0, "user", None)], SCHEMA)
+    r = truncate_to_budget(df2, budget=1).collect()[0]
+    assert r["n_tok"] == 0 and r["kept"] is True
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget must be >= 1"):
+        truncate_to_budget(df, budget=0)
+
+
+def test_truncate_single_exchange(transcripts):
+    from ocr_spark.operators.sft import truncate_to_budget
+
+    assert _n_exchanges(truncate_to_budget(transcripts, budget=8)) == 1
+
+
+# --- X63 merge_role_runs --------------------------------------------------
+
+
+def test_merge_role_runs_repairs_repeats(spark):
+    from ocr_spark.operators.dialogue import merge_role_runs
+
+    rows = [
+        _turn("c", 0, "user", "part one"),
+        _turn("c", 1, "user", "part two"),
+        _turn("c", 2, "user", None),
+        _turn("c", 3, "assistant", "reply"),
+        _turn("c", 4, "user", "again"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sorted(
+        merge_role_runs(df).collect(), key=lambda r: r["turn_idx"]
+    )
+    assert [(r["turn_idx"], r["role"], r["n_merged"]) for r in out] == [
+        (0, "user", 3),
+        (3, "assistant", 1),
+        (4, "user", 1),
+    ]
+    # texts join in turn order; NULL becomes an empty slot
+    assert out[0]["text"] == "part one\npart two\n"
+    assert out[2]["text"] == "again"
+
+
+def test_merge_role_runs_valid_conv_passthrough(transcripts):
+    from ocr_spark.operators.dialogue import merge_role_runs
+
+    # c1 has no role repeats: merge is the identity (n_merged = 1)
+    out = [
+        r
+        for r in merge_role_runs(transcripts).collect()
+        if r["conv_id"] == "c1"
+    ]
+    assert len(out) == 4
+    assert all(r["n_merged"] == 1 for r in out)
+    src = {
+        r["turn_idx"]: (r["role"], r["text"] or "")
+        for r in transcripts.filter("conv_id = 'c1'").collect()
+    }
+    for r in out:
+        assert (r["role"], r["text"]) == src[r["turn_idx"]]
+
+
+def test_merge_role_runs_single_exchange(transcripts):
+    from ocr_spark.operators.dialogue import merge_role_runs
+
+    assert _n_exchanges(merge_role_runs(transcripts)) == 1

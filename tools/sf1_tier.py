@@ -42,7 +42,7 @@ DOC_QUERIES = [
     "incremental_near_dup", "leakage_safe_split", "collapse_repeats",
     "ngram_coverage", "cms_heavy_hitters", "lsh_recall",
     "centroid_similarity", "ngram_novelty", "normalized_dedup",
-    "mad_outliers", "curriculum_bins",
+    "mad_outliers", "curriculum_bins", "quantize_embeddings",
     # (the X56–X59 transcript-view families read events, which the sf1
     # tier doesn't ship — their 10× evidence is the sf0.1 events table,
     # 10× sf0.01, via check_oracles --extended)
