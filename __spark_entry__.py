@@ -4565,6 +4565,47 @@ FROM m
 """
 
 
+def _curate_conversations(spark, sf_dir):
+    """Composed conversation curation (X65): the transcript-grain
+    curate_corpus — keep = audit-valid AND prefix-dedup keeper AND ≥1
+    strict user→assistant pair AND turn-count bounds, with per-reason
+    drop flags. Three conversation-grain frames joined on conv_id; the
+    turn grain is read only by the component passes."""
+    from ocr_spark.operators.sft import curate_conversations
+
+    return curate_conversations(
+        _transcript_view(spark, sf_dir), prefix_k=2, min_turns=2,
+        max_turns=500,
+    )
+
+
+_CURATE_CONVS_SQL = f"""
+WITH audit AS (SELECT conv_id, n_turns, valid FROM ({_DIALOGUE_AUDIT_SQL})),
+ded AS (SELECT conv_id, is_keeper FROM ({_CONV_PREFIX_DEDUP_SQL})),
+prs AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM ({_SFT_PAIRS_SQL}) GROUP BY conv_id
+),
+j AS (
+  SELECT a.conv_id, a.n_turns, coalesce(p.n_pairs, 0) AS n_pairs,
+         a.valid, d.is_keeper
+  FROM audit a
+  LEFT JOIN ded d USING (conv_id)
+  LEFT JOIN prs p USING (conv_id)
+)
+SELECT conv_id, n_turns, n_pairs, valid, is_keeper,
+       (NOT (NOT valid)
+        AND NOT (is_keeper IS NOT NULL AND NOT is_keeper)
+        AND NOT (n_pairs = 0)
+        AND NOT (n_turns < 2 OR n_turns > 500)) AS keep,
+       NOT valid AS drop_invalid,
+       (is_keeper IS NOT NULL AND NOT is_keeper) AS drop_dup,
+       n_pairs = 0 AS drop_no_pairs,
+       (n_turns < 2 OR n_turns > 500) AS drop_len
+FROM j
+"""
+
+
 # --- round-5 session-8 statistical-selection families: robust MAD
 # --- outliers (X60) and percentile curriculum bins (X61) ------------------
 
@@ -4954,6 +4995,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_context": _truncate_context,
         "merge_role_runs": _merge_role_runs,
         "quantize_embeddings": _quantize_embeddings,
+        # round-5 session-8 composed conversation curation (X65)
+        "curate_conversations": _curate_conversations,
     }
 
 
@@ -5025,6 +5068,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "truncate_context": _TRUNCATE_CONTEXT_SQL,
         "merge_role_runs": _MERGE_ROLE_RUNS_SQL,
         "quantize_embeddings": _QUANTIZE_EMB_SQL,
+        "curate_conversations": _CURATE_CONVS_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

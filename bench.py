@@ -106,6 +106,7 @@ HEADLINE = [
     "truncate_context",
     "merge_role_runs",
     "quantize_embeddings",
+    "curate_conversations",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

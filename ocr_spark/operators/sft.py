@@ -323,3 +323,100 @@ def truncate_to_budget(
             | (F.col("_rn_end") == 1)
         ).alias("kept"),
     )
+
+
+def curate_conversations(
+    df: DataFrame,
+    prefix_k: int = 2,
+    min_turns: int = 2,
+    max_turns: int = 500,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Composed conversation-curation verdict (SURVEY §2.8 X65) — the
+    transcript-grain analog of ``curation.curate_corpus``: one keep/drop
+    decision per conversation from the family's own gates, with
+    per-reason flags so the drop funnel reads directly off the output.
+
+    Keep = structurally valid (X49's audit verdict) AND the keeper of
+    its prefix-dedup class (X58; a NULL no-evidence key does NOT drop —
+    such conversations already fail the audit's starts-with-user rule)
+    AND at least one strict user→assistant pair exists (X57 — a
+    conversation yielding zero examples trains nothing) AND
+    ``min_turns ≤ n_turns ≤ max_turns`` (degenerate one-liners and
+    runaway agent loops out). Returns::
+
+        (conv_id, n_turns, n_pairs, valid, is_keeper, keep,
+         drop_invalid, drop_dup, drop_no_pairs, drop_len)
+
+    Scale shape at 10^12 turns: the three component passes each reduce
+    the turn grain to the conversation grain in one Exchange (their own
+    documented shapes); the composition then joins three
+    conversation-grain frames (~10^7 rows at 10^12 turns) on
+    ``conv_id`` — AQE turns these into local joins when the frames
+    co-partition, and nothing at the turn grain is read twice beyond
+    the component passes themselves.
+    """
+    from ocr_spark.operators.dialogue import dialogue_audit
+
+    audit = dialogue_audit(
+        df,
+        conv_col=conv_col,
+        idx_col=idx_col,
+        role_col=role_col,
+        text_col=text_col,
+        tool_col=tool_col,
+    ).select("conv_id", "n_turns", "valid")
+    dedup = conversation_prefix_dedup(
+        df,
+        k=prefix_k,
+        conv_col=conv_col,
+        idx_col=idx_col,
+        role_col=role_col,
+        text_col=text_col,
+    ).select("conv_id", "is_keeper")
+    pairs = (
+        response_pairs(
+            df,
+            conv_col=conv_col,
+            idx_col=idx_col,
+            role_col=role_col,
+            text_col=text_col,
+        )
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    j = (
+        audit.join(dedup, "conv_id", "left")
+        .join(pairs, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            "valid",
+            "is_keeper",
+        )
+    )
+    drop_invalid = ~F.col("valid")
+    drop_dup = F.col("is_keeper").isNotNull() & ~F.col("is_keeper")
+    drop_no_pairs = F.col("n_pairs") == 0
+    drop_len = (F.col("n_turns") < min_turns) | (
+        F.col("n_turns") > max_turns
+    )
+    return j.select(
+        "conv_id",
+        "n_turns",
+        "n_pairs",
+        "valid",
+        "is_keeper",
+        (~drop_invalid & ~drop_dup & ~drop_no_pairs & ~drop_len).alias(
+            "keep"
+        ),
+        drop_invalid.alias("drop_invalid"),
+        drop_dup.alias("drop_dup"),
+        drop_no_pairs.alias("drop_no_pairs"),
+        drop_len.alias("drop_len"),
+    )

@@ -361,3 +361,73 @@ def test_merge_role_runs_single_exchange(transcripts):
     from ocr_spark.operators.dialogue import merge_role_runs
 
     assert _n_exchanges(merge_role_runs(transcripts)) == 1
+
+
+# --- X65 curate_conversations --------------------------------------------
+
+
+def test_curate_conversations_verdicts(transcripts):
+    from ocr_spark.operators.sft import curate_conversations
+
+    out = {
+        r["conv_id"]: r
+        for r in curate_conversations(transcripts, prefix_k=2).collect()
+    }
+    # c1: valid, keeper, 1 pair, 4 turns -> keep
+    c1 = out["c1"]
+    assert c1["keep"] is True
+    assert not any(
+        c1[f] for f in
+        ("drop_invalid", "drop_dup", "drop_no_pairs", "drop_len")
+    )
+    # c2: starts with assistant (invalid) though it HAS a pair
+    assert out["c2"]["keep"] is False
+    assert out["c2"]["drop_invalid"] is True
+    assert out["c2"]["drop_no_pairs"] is False
+    # c5: duplicate of c3 under the prefix key -> drop_dup (and also
+    # pairless is False: user@1 -> assistant@2 is a pair)
+    assert out["c5"]["drop_dup"] is True and out["c5"]["keep"] is False
+    # c3: keeper of its class but its only user turns are followed by
+    # user/tool turns... user@1 -> tool => 0 pairs -> drop_no_pairs
+    assert out["c3"]["n_pairs"] == 0
+    assert out["c3"]["drop_no_pairs"] is True
+    # c4: no user turns -> NULL dedup evidence doesn't drop it, the
+    # audit does
+    assert out["c4"]["is_keeper"] is None
+    assert out["c4"]["drop_dup"] is False
+    assert out["c4"]["drop_invalid"] is True
+
+
+def test_curate_conversations_length_gate(spark):
+    from ocr_spark.operators.sft import curate_conversations
+
+    rows = [
+        _turn("short", 0, "user", "hi"),
+        _turn("long", 0, "user", "hi"),
+    ] + [
+        _turn("long", i, "assistant" if i % 2 else "user", f"t{i}")
+        for i in range(1, 12)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        r["conv_id"]: r
+        for r in curate_conversations(
+            df, min_turns=2, max_turns=10
+        ).collect()
+    }
+    assert out["short"]["drop_len"] is True  # 1 turn < 2
+    assert out["long"]["drop_len"] is True   # 12 turns > 10
+    assert not out["short"]["keep"] and not out["long"]["keep"]
+
+
+def test_curate_conversations_invariance(transcripts):
+    from ocr_spark.operators.sft import curate_conversations
+
+    a = {tuple(r) for r in curate_conversations(transcripts).collect()}
+    b = {
+        tuple(r)
+        for r in curate_conversations(
+            transcripts.repartition(9, "text")
+        ).collect()
+    }
+    assert a == b
