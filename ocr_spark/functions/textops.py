@@ -137,6 +137,26 @@ def _preserve_case_phrase(matched: str, replacement: str) -> str:
     return replacement
 
 
+#: re.IGNORECASE folds by CPython sre's equivalence table, which pairs
+#: these non-ASCII letters with ASCII ones that str.lower() does NOT
+#: produce (LONG S U+017F ↔ s, DOTLESS I U+0131 ↔ i; Kelvin/Angstrom
+#: already lowercase to k/å). Substring probes over lowered text must
+#: apply the same fold or they under-approximate what an IGNORECASE
+#: regex can match — differential fuzz found both misses ('ſj', 'ſic').
+_SRE_EXTRA_FOLDS = str.maketrans({"ſ": "s", "ı": "i"})
+
+
+def _probe_fold(s: str) -> str:
+    """Lowercase plus the sre equivalence folds — the EXACT necessary-
+    condition haystack for probing ASCII substrings of IGNORECASE rules.
+    The translate only runs when a fold character is present (two C
+    scans), so the ASCII-dominant hot path pays nothing."""
+    low = s.lower()
+    if "ſ" in low or "ı" in low:
+        return low.translate(_SRE_EXTRA_FOLDS)
+    return low
+
+
 def apply_multiword(text: str, spans: Optional[list[Span]] = None) -> tuple[str, list[Span]]:
     """Apply the 277 multi-word rules longest-key-first, sequentially on the
     mutated string (chained corrections compound), case-insensitively with
@@ -146,7 +166,7 @@ def apply_multiword(text: str, spans: Optional[list[Span]] = None) -> tuple[str,
     lower = None  # lazily computed, invalidated on mutation
     for rule in D.MULTI_WORD_RULES:
         if lower is None:
-            lower = result.lower()
+            lower = _probe_fold(result)
         # cheap necessary-condition probe before the regex scan
         if rule.probe and rule.probe not in lower:
             continue
@@ -447,15 +467,17 @@ def normalize_token_spelling(token: str) -> str:
         if token[0].isupper():
             repl = repl.capitalize()
         return repl
-    # necessary-condition probe: no digraph substring -> no rule can fire
-    # (rules match case-insensitively, so probing the lowered token is exact)
+    # necessary-condition probe: no digraph substring -> no rule can fire.
+    # Probing the plain-lowered token is NOT exact (the sre equivalence
+    # folds — see _probe_fold; 'ſj' must probe as 'sj')
+    probe = _probe_fold(token)
     if (
-        "oe" not in lower
-        and "dj" not in lower
-        and "tj" not in lower
-        and "nj" not in lower
-        and "sj" not in lower
-        and "ch" not in lower
+        "oe" not in probe
+        and "dj" not in probe
+        and "tj" not in probe
+        and "nj" not in probe
+        and "sj" not in probe
+        and "ch" not in probe
     ):
         return token
     out = token

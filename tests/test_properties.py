@@ -184,3 +184,49 @@ def test_layout_total_and_loses_no_tokens(tokens):
     for t in tokens:
         assert t[4] in out["text"]
     assert out["n_tokens"] == len(tokens)
+
+
+# ---------------------------------------------------------------------------
+# Regression pins for the sre IGNORECASE equivalence folds (LONG S U+017F,
+# DOTLESS I U+0131): the reference's IGNORECASE rules match these where
+# str.lower() does not, so our substring fast-path probes must fold them
+# (textops._probe_fold). Each case was a live differential-fuzz miss.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not _REF.exists(), reason="reference not present")
+@pytest.mark.parametrize(
+    "text",
+    [
+        "ſj",          # spelling digraph sj -> sy through LONG S
+        "Aſj",         # mid-token, capitalized head
+        "ſice",        # multi-word rule key 'sic' through LONG S
+        "sıc",         # same key through DOTLESS I
+        "Jsıci",       # embedded, mixed
+        "ſjarat oeſ",  # digraph plus trailing long-s
+    ],
+)
+def test_sre_equivalence_fold_parity(text):
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).resolve().parent.parent / "tools")
+    )
+    from make_fixtures import reference_pipeline
+
+    for use_dict in (False, True):
+        for use_spell in (False, True):
+            ref = reference_pipeline(text, use_dict, use_spell, [])
+            got = extract_turn(
+                text,
+                use_dictionary=use_dict,
+                use_spelling=use_spell,
+                confidences=None,
+            )
+            for k in (
+                "extracted_text",
+                "normalized_text",
+                "dictionary_corrections",
+                "spelling_changes",
+                "unknown_words",
+                "quality",
+            ):
+                assert got[k] == ref[k], (text, use_dict, use_spell, k)
