@@ -4606,6 +4606,57 @@ FROM j
 """
 
 
+def _turn_latency(spark, sf_dir):
+    """Assistant response-latency stats (X66): exact integer microsecond
+    gaps over the strict user→assistant adjacencies, aggregated per
+    conversation — the cached-response / session-split triage signal.
+    One Exchange (the X57 window's partitioning reused)."""
+    from ocr_spark.operators.dialogue import turn_latency
+
+    return turn_latency(_transcript_view(spark, sf_dir))
+
+
+_TURN_LATENCY_SQL = f"""
+WITH t AS ({_TRANSCRIPT_CTE}),
+x AS (
+  SELECT conv_id, role,
+         lead(role) OVER w AS next_role,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS lat
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(sum(lat) AS BIGINT) AS total_latency_us,
+       CAST(min(lat) AS BIGINT) AS min_latency_us,
+       CAST(max(lat) AS BIGINT) AS max_latency_us
+FROM x WHERE role = 'user' AND next_role = 'assistant'
+GROUP BY conv_id
+"""
+
+
+def _role_transitions(spark, sf_dir):
+    """Corpus-wide role-transition matrix (X67): adjacent (from, to) role
+    counts plus (NULL, role) conversation openings — the first-order
+    Markov summary whose cells triage the X49 defect counters. Output is
+    role-grid-sized at any corpus size."""
+    from ocr_spark.operators.dialogue import role_transitions
+
+    return role_transitions(_transcript_view(spark, sf_dir))
+
+
+_ROLE_TRANSITIONS_SQL = f"""
+WITH t AS ({_TRANSCRIPT_CTE}),
+x AS (
+  SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS from_role,
+         role AS to_role
+  FROM t
+)
+SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY from_role, to_role
+"""
+
+
 # --- round-5 session-8 statistical-selection families: robust MAD
 # --- outliers (X60) and percentile curriculum bins (X61) ------------------
 
@@ -4997,6 +5048,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _quantize_embeddings,
         # round-5 session-8 composed conversation curation (X65)
         "curate_conversations": _curate_conversations,
+        # round-5 session-8 dialogue analytics (X66–X67)
+        "turn_latency": _turn_latency,
+        "role_transitions": _role_transitions,
     }
 
 
@@ -5069,6 +5123,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "merge_role_runs": _MERGE_ROLE_RUNS_SQL,
         "quantize_embeddings": _QUANTIZE_EMB_SQL,
         "curate_conversations": _CURATE_CONVS_SQL,
+        "turn_latency": _TURN_LATENCY_SQL,
+        "role_transitions": _ROLE_TRANSITIONS_SQL,
         # a12_approx_distinct: no oracle (HLL estimate; tolerance-band
         # pytest vs the exact count instead)
         # media_audio_features / media_image_features: no oracle

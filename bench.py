@@ -107,6 +107,8 @@ HEADLINE = [
     "merge_role_runs",
     "quantize_embeddings",
     "curate_conversations",
+    "turn_latency",
+    "role_transitions",
     "bpe_token_counts",
     "fingerprints",
     "pii_redaction",

@@ -256,3 +256,85 @@ def merge_role_runs(
         )
         .select("conv_id", "turn_idx", "role", "text", "n_merged")
     )
+
+
+def turn_latency(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Assistant response-latency stats per conversation (SURVEY §2.8
+    X66): over every strict (user turn, immediately-following assistant
+    turn) adjacency — the X57 pair rule — the microsecond gap between the
+    two timestamps, aggregated per conversation::
+
+        (conv_id, n_responses, total_latency_us, min_latency_us,
+         max_latency_us)
+
+    The latency signal drives two curation decisions: sub-second
+    "assistant" responses in scraped logs are frequently cached/templated
+    (drop candidates), and extreme gaps mark resumed sessions that
+    sessionization (T8) should have split. Latencies are EXACT integer
+    microsecond differences (``unix_micros`` ≡ DuckDB ``epoch_us``) — no
+    float seconds, no truncation ambiguity between engines. Only
+    conversations with ≥1 strict pair emit; means are left to the caller
+    (total/n) so every shipped column stays exact.
+
+    Scale shape: the X57 single window (O(1) lead state) plus a
+    ``groupBy(conv_id)`` that reuses its hash partitioning — ONE Exchange
+    end to end, plan-pinned.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    # the ts column may arrive as TIMESTAMP_NTZ (parquet naive); the cast
+    # applies the session zone, but only DIFFERENCES ship, so the offset
+    # cancels (run pipelines with a fixed session zone — UTC — as usual)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    out = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(role_col).alias("_role"),
+        F.lead(role_col).over(w).alias("_next_role"),
+        (F.lead(us).over(w) - us).alias("_lat"),
+    ).filter(
+        (F.col("_role") == user_role)
+        & (F.col("_next_role") == assistant_role)
+    )
+    return out.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.sum("_lat").alias("total_latency_us"),
+        F.min("_lat").alias("min_latency_us"),
+        F.max("_lat").alias("max_latency_us"),
+    )
+
+
+def role_transitions(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Corpus-wide role-transition matrix (SURVEY §2.8 X67): counts of
+    every adjacent ``(from_role, to_role)`` pair plus ``(NULL, role)``
+    rows for conversation openings — the first-order Markov structure of
+    the transcript corpus, the one-page answer to "what does a typical
+    conversation here look like" before any per-conversation audit. The
+    X49 defect counters are specific cells of this matrix (role repeats
+    = the diagonal; orphan tool results live in the non-assistant→tool
+    cells), so the matrix is also the corpus-level triage view for them.
+
+    Scale shape: one window over (conv_id, turn_idx) with O(1) lag
+    state, then a hash-aggregate on the ≤ (R+1)·R role-pair grid (R =
+    distinct roles, ~4) — map-side combine absorbs everything; the
+    output is grid-sized regardless of corpus size.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    pairs = df.select(
+        F.lag(role_col).over(w).alias("from_role"),
+        F.col(role_col).alias("to_role"),
+    )
+    return pairs.groupBy("from_role", "to_role").agg(
+        F.count(F.lit(1)).alias("n")
+    )

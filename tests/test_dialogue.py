@@ -106,3 +106,63 @@ def test_one_exchange_plan(transcripts):
     # the groupBy must reuse the window's hash partitioning: exactly one
     # shuffle in the whole audit
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- X66 turn_latency -----------------------------------------------------
+
+
+def test_turn_latency_exact_micros(spark):
+    from ocr_spark.operators.dialogue import turn_latency
+
+    rows = [
+        # user@t=0 -> assistant@t=3s; user@t=10 -> assistant@t=10.5s
+        ("c", 0, "user", "q1", None, T0),
+        ("c", 1, "assistant", "a1", None, T0 + dt.timedelta(seconds=3)),
+        ("c", 2, "user", "q2", None, T0 + dt.timedelta(seconds=10)),
+        (
+            "c",
+            3,
+            "assistant",
+            "a2",
+            None,
+            T0 + dt.timedelta(seconds=10, microseconds=500_000),
+        ),
+        # user followed by tool: NOT a response pair
+        ("c", 4, "user", "q3", None, T0 + dt.timedelta(seconds=20)),
+        ("c", 5, "tool", "r", None, T0 + dt.timedelta(seconds=21)),
+        # d: no pairs at all -> absent from output
+        ("d", 0, "assistant", "a", None, T0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r for r in turn_latency(df).collect()}
+    assert set(out) == {"c"}
+    c = out["c"]
+    assert c["n_responses"] == 2
+    assert c["total_latency_us"] == 3_000_000 + 500_000
+    assert c["min_latency_us"] == 500_000
+    assert c["max_latency_us"] == 3_000_000
+
+
+# --- X67 role_transitions -------------------------------------------------
+
+
+def test_role_transitions_matrix(transcripts):
+    from ocr_spark.operators.dialogue import role_transitions
+
+    got = {
+        (r["from_role"], r["to_role"]): r["n"]
+        for r in role_transitions(transcripts).collect()
+    }
+    # openings: one per conversation (c1, c2, c3)
+    assert got[(None, "user")] == 1       # c1 opens with user
+    assert got[(None, "assistant")] == 1  # c2
+    assert got[(None, "tool")] == 1       # c3
+    # the diagonal is the audit's n_role_repeats: c2 has user,user
+    assert got[("user", "user")] == 1
+    # every turn appears exactly once as a to_role
+    total = sum(got.values())
+    assert total == transcripts.count()
