@@ -4511,7 +4511,7 @@ _MERGE_ROLE_RUNS_SQL = f"""
 WITH t AS ({_TRANSCRIPT_CTE}),
 x AS (
   SELECT conv_id, turn_idx, role, coalesce(text, '') AS txt,
-         sum(CASE WHEN prev_role IS NULL OR prev_role <> role
+         sum(CASE WHEN prev_role IS DISTINCT FROM role
                   THEN 1 ELSE 0 END) OVER (
              PARTITION BY conv_id ORDER BY turn_idx
              ROWS UNBOUNDED PRECEDING) AS island
@@ -4630,6 +4630,7 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_responses,
        CAST(min(lat) AS BIGINT) AS min_latency_us,
        CAST(max(lat) AS BIGINT) AS max_latency_us
 FROM x WHERE role = 'user' AND next_role = 'assistant'
+      AND lat IS NOT NULL
 GROUP BY conv_id
 """
 

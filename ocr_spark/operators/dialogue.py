@@ -222,10 +222,15 @@ def merge_role_runs(
     pathological single-role conversation ever exceeds task memory).
     """
     w = Window.partitionBy(conv_col).orderBy(idx_col)
+    # null-safe inequality: a NULL-role turn must OPEN a new island (and
+    # a run of NULL roles stays one island) — the naive `!=` yields NULL
+    # against a non-NULL predecessor, which the running sum would skip,
+    # absorbing the bad turn into the previous speaker's run and making
+    # first(role) over the then-mixed group order-dependent
     boundary = (
-        F.lag(role_col).over(w).isNull()
-        | (F.lag(role_col).over(w) != F.col(role_col))
-    ).cast("long")
+        F.row_number().over(w) == 1
+    ) | ~F.lag(role_col).over(w).eqNullSafe(F.col(role_col))
+    boundary = boundary.cast("long")
     turns = df.select(
         F.col(conv_col).alias("conv_id"),
         F.col(idx_col).alias("_idx"),
@@ -301,6 +306,10 @@ def turn_latency(
     ).filter(
         (F.col("_role") == user_role)
         & (F.col("_next_role") == assistant_role)
+        # only TIMED pairs count: a NULL timestamp on either side would
+        # otherwise inflate n_responses while sum/min/max skip it,
+        # silently biasing the caller's total/n mean
+        & F.col("_lat").isNotNull()
     )
     return out.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_responses"),

@@ -335,6 +335,9 @@ def curate_conversations(
     role_col: str = "role",
     text_col: str = "text",
     tool_col: str = "tool",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+    tool_role: str = "tool",
 ) -> DataFrame:
     """Composed conversation-curation verdict (SURVEY §2.8 X65) — the
     transcript-grain analog of ``curation.curate_corpus``: one keep/drop
@@ -347,7 +350,19 @@ def curate_conversations(
     AND at least one strict user→assistant pair exists (X57 — a
     conversation yielding zero examples trains nothing) AND
     ``min_turns ≤ n_turns ≤ max_turns`` (degenerate one-liners and
-    runaway agent loops out). Returns::
+    runaway agent loops out). Role labels are parameters like the column
+    names, so corpora with non-default tags ('human'/'gpt') curate
+    instead of silently dropping wholesale.
+
+    Note the audit gate inherits X49's STRICT chat-ML validity: a
+    multi-result tool fan-out (two consecutive ``tool`` turns after one
+    call) counts as a role repeat + orphan and fails ``valid`` — by
+    design, since the contract expects one result per call. A pipeline
+    that wants to KEEP fan-outs should repair them first
+    (:func:`~ocr_spark.operators.dialogue.merge_role_runs` collapses the
+    run into one result turn) and curate the repaired table; X59's
+    ``tool_run_stats`` measures exactly how much of the corpus that
+    decision touches. Returns::
 
         (conv_id, n_turns, n_pairs, valid, is_keeper, keep,
          drop_invalid, drop_dup, drop_no_pairs, drop_len)
@@ -369,6 +384,9 @@ def curate_conversations(
         role_col=role_col,
         text_col=text_col,
         tool_col=tool_col,
+        user_role=user_role,
+        assistant_role=assistant_role,
+        tool_role=tool_role,
     ).select("conv_id", "n_turns", "valid")
     dedup = conversation_prefix_dedup(
         df,
@@ -377,6 +395,7 @@ def curate_conversations(
         idx_col=idx_col,
         role_col=role_col,
         text_col=text_col,
+        user_role=user_role,
     ).select("conv_id", "is_keeper")
     pairs = (
         response_pairs(
@@ -385,6 +404,8 @@ def curate_conversations(
             idx_col=idx_col,
             role_col=role_col,
             text_col=text_col,
+            user_role=user_role,
+            assistant_role=assistant_role,
         )
         .groupBy("conv_id")
         .agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -166,3 +166,73 @@ def test_role_transitions_matrix(transcripts):
     # every turn appears exactly once as a to_role
     total = sum(got.values())
     assert total == transcripts.count()
+
+
+def test_turn_latency_null_ts_pairs_excluded(spark):
+    from ocr_spark.operators.dialogue import turn_latency
+
+    rows = [
+        ("c", 0, "user", "q1", None, T0),
+        ("c", 1, "assistant", "a1", None, T0 + dt.timedelta(seconds=2)),
+        ("c", 2, "user", "q2", None, T0 + dt.timedelta(seconds=5)),
+        ("c", 3, "assistant", "a2", None, None),  # untimed response
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = turn_latency(df).collect()
+    # only the TIMED pair counts, so total/n stays an honest mean
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_responses"] == 1
+    assert r["total_latency_us"] == 2_000_000
+
+
+def test_merge_role_runs_null_role_opens_island(spark):
+    from ocr_spark.operators.dialogue import merge_role_runs
+
+    rows = [
+        ("c", 0, "user", "hi", None, T0),
+        ("c", 1, None, "stray", None, T0 + dt.timedelta(seconds=1)),
+        ("c", 2, None, "stray2", None, T0 + dt.timedelta(seconds=2)),
+        ("c", 3, "user", "again", None, T0 + dt.timedelta(seconds=3)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = sorted(
+        merge_role_runs(df).collect(), key=lambda r: r["turn_idx"]
+    )
+    # the NULL-role turns form their OWN island (never absorbed into the
+    # previous speaker), and a run of NULLs merges deterministically
+    assert [(r["turn_idx"], r["role"], r["n_merged"]) for r in out] == [
+        (0, "user", 1),
+        (1, None, 2),
+        (3, "user", 1),
+    ]
+    assert out[1]["text"] == "stray\nstray2"
+
+
+def test_curate_conversations_custom_role_labels(spark):
+    from ocr_spark.operators.sft import curate_conversations
+
+    rows = [
+        ("c", 0, "human", "hello", None, T0),
+        ("c", 1, "gpt", "hi there", None, T0 + dt.timedelta(seconds=1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = curate_conversations(
+        df, user_role="human", assistant_role="gpt", tool_role="fn"
+    ).collect()
+    assert len(out) == 1 and out[0]["keep"] is True
+    # default labels on the same data would have dropped everything
+    dropped = curate_conversations(df).collect()
+    assert dropped[0]["keep"] is False
