@@ -33,7 +33,14 @@ DOC_QUERIES = [
     "lang_id_counts",
     "bpe_token_counts", "pii_redaction", "source_stats", "training_shards",
     "gopher_repetition", "unigram_nll", "bigram_nll", "line_strip",
-    "rrf_fusion", "tfidf_topk_terms", "edit_near_dup",
+    "rrf_fusion", "tfidf_topk_terms",
+    # edit_near_dup is EXCLUDED from the sf1 sweep: its ORACLE is the
+    # brute-force banded Levenshtein self-join (the exact truth side,
+    # affordable at the 500/5k-doc gate tiers where it is verified),
+    # which is O(pairs·len²) single-threaded in DuckDB at 50k docs —
+    # measured >5 CPU-hours before being killed. The ENGINE's PassJoin
+    # side is sf1-scale (pigeonhole candidates + banded DP); the same
+    # exact-side-affordable-at-eval-tier stance as ivf_recall/lsh_recall.
     "pmi_collocations", "paragraph_dedup", "chunk_documents",
     "source_kl_divergence", "c4_filters", "mojibake_repair",
     "flesch_readability", "lexical_diversity", "split_summary",
